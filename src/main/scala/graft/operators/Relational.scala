@@ -1,0 +1,443 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2-B relational core: the query engine the array model sits on.
+  *
+  * Every query here is written Spark-first — declarative DataFrame plans so
+  * Catalyst does pushdown/pruning/join-selection — with explicit
+  * `broadcast()` on dimension tables (at 100 TB the fact side never fits a
+  * shuffle-both-sides join; the dims always fit a broadcast). Float
+  * aggregates go through [[graft.Det]] so the DuckDB oracle is bit-exact.
+  * Each query carries its DuckDB oracle SQL right next to it.
+  */
+object Relational {
+
+  // --- q1_agg: TPC-H-Q1-style pricing summary -----------------------------
+  // One shuffle (partial+final hash agg); filter pushed to parquet scan.
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.sqlDsum("l_quantity")} AS sum_qty,
+       |  ${Det.sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  ${Det.sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+       |  ${Det.sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+       |  ${Det.sqlDavg("l_quantity")} AS avg_qty,
+       |  ${Det.sqlDavg("l_extendedprice")} AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q2_join_filter: dim-fact join, broadcast the dims ------------------
+  def q2JoinFilter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+           Det.dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("n_name")
+  }
+
+  val q2Sql: String =
+    s"""SELECT n_name, COUNT(*) AS n_orders,
+       |  ${Det.sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // --- q3_topk: join + agg + top-k (TakeOrderedAndProject, no full sort) --
+  def q3Topk(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       |  ${Det.sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // --- q4_exists: EXISTS semi-join (left-semi hash join) ------------------
+  def q4Exists(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 48)
+      .select("l_orderkey")
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // --- q5_multijoin: 5-way snowflake join, one shuffle on the fact --------
+  def q5Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5Sql: String =
+    s"""SELECT r_name, n_name,
+       |  ${Det.sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+       |  COUNT(*) AS n_lineitems
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // --- q6_filter_agg: selective scan, full pushdown, zero shuffle ---------
+  def q6FilterAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+              col("l_quantity") < 24)
+      .agg(Det.dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q6Sql: String =
+    s"""SELECT ${Det.sqlDsum("l_extendedprice * l_discount", 6)} AS revenue,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  // --- q7_window: ranking window per group, single shuffle ----------------
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("c_mktsegment", "rnk", "c_custkey", "c_acctbal")
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  val q7Sql: String =
+    """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |  FROM customer) t
+      |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin
+
+  // --- q8_rollup: hierarchical aggregation --------------------------------
+  def q8Rollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           Det.dsum(col("o_totalprice")).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+  }
+
+  val q8Sql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n_orders,
+       |  ${Det.sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  // --- q9_distinct: exact + sanity-checked approx count-distinct ----------
+  // approx_count_distinct (HLL++) is deterministic for fixed data; we assert
+  // it lands within 5% of exact and emit that check as a boolean so the
+  // oracle (which has no HLL++ with identical params) can verify it.
+  def q9Distinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select(col("event_type"), col("n_users"),
+              (abs(col("n_users_approx") - col("n_users")) <=
+                col("n_users") * 0.05).as("approx_within_5pct"))
+      .orderBy("event_type")
+  }
+
+  val q9Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      |  TRUE AS approx_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- q10_asof_join: latest-click-before-purchase ------------------------
+  // Spark-first as-of: union + last(ignoreNulls) over a window — one shuffle
+  // on user_id, no N×M candidate blowup (the naive range join the oracle
+  // runs is O(clicks×purchases) per user; this is O(n log n)).
+  def q10AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+              col("event_id").as("click_id"),
+              lit(null).cast("long").as("purchase_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+              lit(null).cast("long").as("click_id"),
+              col("event_id").as("purchase_id"))
+    // clicks sort before purchases at equal ts => strict "before" semantics
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("purchase_id").isNotNull.cast("int"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .filter(col("purchase_id").isNotNull && col("last_click").isNotNull)
+      .select(col("user_id"), col("purchase_id"), col("last_click").as("click_id"))
+      .orderBy("purchase_id")
+  }
+
+  val q10Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  arg_max(c.event_id, c.ts) AS click_id
+      |FROM events p
+      |JOIN events c ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.user_id, p.event_id
+      |ORDER BY purchase_id""".stripMargin
+
+  // --- q11_range_join: band join against broadcast interval table ---------
+  private val bands: Seq[(String, Int, Int)] = Seq(
+    ("B0_low", 0, 20000), ("B1_mid", 20000, 40000), ("B2_high", 40000, 60000),
+    ("B3_xhigh", 60000, 80000), ("B4_top", 80000, 125000))
+
+  def q11RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = bands.toDF("band", "lo", "hi")
+    Tables.lineitem(s, dir)
+      .join(broadcast(b),
+            col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+           Det.dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy("band")
+  }
+
+  val q11Sql: String = {
+    val vals = bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    s"""SELECT band, COUNT(*) AS n_items,
+       |  ${Det.sqlDsum("l_extendedprice")} AS total_price
+       |FROM lineitem
+       |JOIN (VALUES $vals) v(band, lo, hi)
+       |  ON l_extendedprice >= lo AND l_extendedprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+  }
+
+  // --- q12_pivot: day × event_type matrix ---------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q12Pivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(Det.dsum(col("value")))
+      .orderBy("day")
+  }
+
+  val q12Sql: String = {
+    val cols = eventTypes.map { t =>
+      s"  ${Det.sqlDsum(s"CASE WHEN event_type = '$t' THEN value END")} AS \"$t\""
+    }.mkString(",\n")
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |$cols
+       |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin
+  }
+
+  // --- q13_antijoin: customers with no big order (left-anti hash join) ----
+  def q13Antijoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           Det.dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q13Sql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+       |  ${Det.sqlDsum("c_acctbal")} AS total_acctbal
+       |FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // --- q14_union_dedup: UNION + dedup (hash-agg distinct) -----------------
+  def q14UnionDedup(s: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.events(s, dir).filter(col("value") > 400)
+      .select(col("user_id").as("id"))
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      .select(pmod(col("o_custkey"), lit(150)).cast("long").as("id"))
+    hot.unionByName(big).distinct()
+      .agg(count(lit(1)).as("n_ids"),
+           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+  }
+
+  val q14Sql: String =
+    """SELECT COUNT(*) AS n_ids, MIN(id) AS min_id, MAX(id) AS max_id FROM (
+      |  SELECT user_id AS id FROM events WHERE value > 400
+      |  UNION
+      |  SELECT o_custkey % 150 AS id FROM orders WHERE o_totalprice > 400000
+      |) t""".stripMargin
+
+  // --- q15_skew_agg: salted two-stage aggregation -------------------------
+  // Same result as a plain groupBy, but the first stage fans hot keys over
+  // 8 salt buckets so no single reducer owns a whole hot key at scale.
+  // Decimal partials keep the two-stage sum exact.
+  def q15SkewAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = Tables.events(s, dir)
+    val partial = e
+      .withColumn("salt", pmod(col("user_id"), lit(8)))
+      .groupBy("event_type", "salt")
+      .agg(sum(col("value").cast(DecimalType(18, 4))).as("psum"),
+           count(lit(1)).as("pcnt"))
+    partial.groupBy("event_type")
+      .agg(sum(col("psum")).cast("double").as("total_value"),
+           sum(col("pcnt")).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val q15Sql: String =
+    s"""SELECT event_type, ${Det.sqlDsum("value")} AS total_value,
+       |  COUNT(*) AS n_events
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- q16_sessionize: 30-min-gap sessions, one shuffle by user -----------
+  def q16Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy("user_id").orderBy("ts")
+    val cum = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTs))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+    e.groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(max(col("sess_id")).as("n_sessions"),
+           max(col("sess_events")).as("max_session_events"),
+           count(lit(1)).cast("long").as("n_sessions_check"))
+      .orderBy("user_id")
+  }
+
+  val q16Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM flagged
+      |), per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS sess_events
+      |  FROM sess GROUP BY user_id, sess_id
+      |)
+      |SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+      |  MAX(sess_events) AS max_session_events,
+      |  COUNT(*) AS n_sessions_check
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Registry consumed by SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_join_filter" -> (q2JoinFilter _),
+    "q3_topk" -> (q3Topk _),
+    "q4_exists" -> (q4Exists _),
+    "q5_multijoin" -> (q5Multijoin _),
+    "q6_filter_agg" -> (q6FilterAgg _),
+    "q7_window" -> (q7Window _),
+    "q8_rollup" -> (q8Rollup _),
+    "q9_distinct" -> (q9Distinct _),
+    "q10_asof_join" -> (q10AsofJoin _),
+    "q11_range_join" -> (q11RangeJoin _),
+    "q12_pivot" -> (q12Pivot _),
+    "q13_antijoin" -> (q13Antijoin _),
+    "q14_union_dedup" -> (q14UnionDedup _),
+    "q15_skew_agg" -> (q15SkewAgg _),
+    "q16_sessionize" -> (q16Sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_join_filter" -> q2Sql,
+    "q3_topk" -> q3Sql,
+    "q4_exists" -> q4Sql,
+    "q5_multijoin" -> q5Sql,
+    "q6_filter_agg" -> q6Sql,
+    "q7_window" -> q7Sql,
+    "q8_rollup" -> q8Sql,
+    "q9_distinct" -> q9Sql,
+    "q10_asof_join" -> q10Sql,
+    "q11_range_join" -> q11Sql,
+    "q12_pivot" -> q12Sql,
+    "q13_antijoin" -> q13Sql,
+    "q14_union_dedup" -> q14Sql,
+    "q15_skew_agg" -> q15Sql,
+    "q16_sessionize" -> q16Sql,
+  )
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query runs non-empty at sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q1 partial sums equal whole-table sums (agg correctness)") {
+    val df = Relational.q1Agg(spark, sf)
+    val total = df.agg(sum("count_order")).head.getLong(0)
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00"))).count()
+    assert(total == expected)
+  }
+
+  test("q3 top-k is sorted descending by revenue") {
+    val rev = Relational.q3Topk(spark, sf).select("revenue")
+      .collect().map(_.getDouble(0))
+    assert(rev.sameElements(rev.sortBy(-_)))
+    assert(rev.length == 10)
+  }
+
+  test("q4 exists + q13 anti partition the domain") {
+    // semi-join(filter) + anti-join(filter) = all rows
+    val o = Tables.orders(spark, sf)
+    val big = Tables.lineitem(spark, sf).filter(col("l_quantity") >= 48).select("l_orderkey")
+    val semi = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi").count()
+    val anti = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_anti").count()
+    assert(semi + anti == o.count())
+  }
+
+  test("q10 as-of join: every click precedes its purchase") {
+    val e = Tables.events(spark, sf).select("event_id", "ts")
+    val res = Relational.q10AsofJoin(spark, sf)
+    val joined = res
+      .join(e.withColumnRenamed("ts", "p_ts"), res("purchase_id") === e("event_id")).drop("event_id")
+      .join(e.withColumnRenamed("ts", "c_ts"), res("click_id") === e("event_id"))
+    assert(joined.filter(col("c_ts") > col("p_ts")).count() == 0)
+  }
+
+  test("q15 salted agg equals plain agg") {
+    val salted = Relational.q15SkewAgg(spark, sf)
+    val plain = Tables.events(spark, sf).groupBy("event_type")
+      .agg(Det.dsum(col("value")).as("total_value"), count(lit(1)).as("n_events"))
+    assert(salted.select("event_type", "total_value", "n_events")
+      .except(plain).count() == 0)
+  }
+
+  test("q16 session counts are internally consistent") {
+    val df = Relational.q16Sessionize(spark, sf)
+    assert(df.filter(col("n_sessions") =!= col("n_sessions_check")).count() == 0)
+  }
+
+  test("broadcast joins chosen for dim tables in q5 plan") {
+    val plan = Relational.q5Multijoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+}

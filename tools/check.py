@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfdir> <outdir>"`:
+loads each <outdir>/<name> parquet (Spark result), runs the matching
+oracle_sql.json entry in DuckDB over the raw tables, and compares
+schema + rows exactly (column order normalized by sorting names,
+which is what the driver does before hashing).
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_spark(outdir, name):
+    files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
+    if not files:
+        return None
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT * FROM read_parquet([" + ",".join(f"'{f}'" for f in files) + "])"
+    ).df()
+    con.close()
+    return df
+
+
+def norm(df):
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+
+def compare(name, sdf, odf):
+    issues = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    s, o = norm(sdf), norm(odf)
+    if len(s) != len(o):
+        issues.append(f"row count: spark={len(s)} oracle={len(o)}")
+        return issues
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if str(sv.dtype) != str(ov.dtype):
+            issues.append(f"dtype[{c}]: spark={sv.dtype} oracle={ov.dtype}")
+        try:
+            if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+                eq = (sv.values == ov.values) | (pd.isna(sv.values) & pd.isna(ov.values))
+            else:
+                eq = (sv.astype(str).values == ov.astype(str).values)
+            bad = np.where(~eq)[0]
+            if len(bad):
+                i = bad[0]
+                issues.append(
+                    f"values[{c}]: {len(bad)}/{len(s)} mismatch; first@row{i}: "
+                    f"spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r}")
+        except Exception as e:
+            issues.append(f"compare[{c}] failed: {e}")
+    return issues
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    npass = nfail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sdf = load_spark(outdir, name)
+        if sdf is None:
+            print(f"FAIL {name}: no spark output")
+            nfail += 1
+            continue
+        try:
+            odf = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            nfail += 1
+            continue
+        issues = compare(name, sdf, odf)
+        if issues:
+            print(f"FAIL {name}:")
+            for i in issues:
+                print(f"   {i}")
+            nfail += 1
+        else:
+            print(f"PASS {name} ({len(sdf)} rows)")
+            npass += 1
+    # queries with no oracle → rows-only check
+    outs = {os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*"))
+            if os.path.isdir(p)}
+    for name in sorted(outs - set(oracle)):
+        sdf = load_spark(outdir, name)
+        ok = sdf is not None and len(sdf) > 0
+        print(f"{'PASS' if ok else 'FAIL'} {name} (rows-only: {0 if sdf is None else len(sdf)} rows)")
+        npass += ok
+        nfail += not ok
+    print(f"== {npass} pass, {nfail} fail")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
