@@ -1,0 +1,94 @@
+package graft.arrays
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Spark encoding of the reference's array data model.
+  *
+  * Deker stores collections of n-dimensional typed arrays addressed by id
+  * or primary attributes, with VArrays tiled over a vgrid
+  * (deker_server_adapters/base.py, varray_adapter.py). The Spark-native
+  * encoding is *long form*: one row per populated cell,
+  * `(coll, array_id, i0, i1, value)`, derived deterministically from the
+  * `events` table — one 2-D array per event_type, dims = (day-of-month,
+  * user bucket). At 100 TB this table is partitioned by (coll, array_id)
+  * and sorted by (i0, i1): a bounds read (base.py:225 read_data) is then
+  * partition pruning + row-group skipping, never a shuffle.
+  *
+  * VArray view: each array doubles as a VArray (`vid` = array_id) tiled
+  * into TILE0-day × full-width tiles; `v_position` = (i0 / TILE0, 0),
+  * mirroring utils/hashing.py:17 `v_position` semantics.
+  */
+object ArrayModel {
+  val Coll = "weather"
+  val Dim1Size = 16   // user buckets
+  val Tile0 = 10      // vgrid tile extent along dim 0
+
+  /** Long-form cell table: one row per populated cell. */
+  def cells(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        col("event_type").as("array_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("i0"),
+        pmod(col("user_id"), lit(Dim1Size)).cast("long").as("i1"))
+      .agg(Det.dsum(col("value")).as("value"))
+      .withColumn("coll", lit(Coll))
+      .select("coll", "array_id", "i0", "i1", "value")
+
+  /** DuckDB CTE mirroring [[cells]]; prepend to every §2-A oracle. */
+  val cellsSql: String =
+    s"""cells AS (
+       |  SELECT '$Coll' AS coll, event_type AS array_id,
+       |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS i0,
+       |    CAST(user_id % $Dim1Size AS BIGINT) AS i1,
+       |    ${Det.sqlDsum("value")} AS value
+       |  FROM events GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
+  /** Catalog: one row per array — schema, shape, stats, custom attrs.
+    * This is the Spark form of read_meta (base.py:166): metadata is a
+    * (broadcastable) table derived from, or stored beside, the cells.
+    */
+  def catalog(s: SparkSession, dir: String): DataFrame =
+    cells(s, dir)
+      .groupBy("coll", "array_id")
+      .agg(
+        (max(col("i0")) + 1).as("dim0_size"),
+        lit(Dim1Size.toLong).as("dim1_size"),
+        count(lit(1)).as("n_cells"),
+        Det.dsum(col("value")).as("value_sum"))
+      .withColumn("dtype", lit("float64"))
+      .withColumn("attr_source", lit("events"))
+      .withColumn("attr_unit", lit("usd"))
+
+  val catalogSql: String =
+    s"""catalog AS (
+       |  SELECT coll, array_id,
+       |    MAX(i0) + 1 AS dim0_size,
+       |    CAST($Dim1Size AS BIGINT) AS dim1_size,
+       |    COUNT(*) AS n_cells,
+       |    ${Det.sqlDsum("value")} AS value_sum,
+       |    'float64' AS dtype, 'events' AS attr_source, 'usd' AS attr_unit
+       |  FROM cells GROUP BY coll, array_id
+       |)""".stripMargin
+
+  /** VArray tile view: (vid, v0, v1) per tile, with the reference's
+    * primary-attribute hash key "vid/v0-v1" (utils/hashing.py:8-21).
+    */
+  def tiles(s: SparkSession, dir: String): DataFrame =
+    cells(s, dir)
+      .select(col("array_id").as("vid"),
+              (col("i0") / Tile0).cast("long").as("v0"),
+              lit(0L).as("v1"))
+      .distinct()
+      .withColumn("hash_key", concat(col("vid"), lit("/"), col("v0"), lit("-"), col("v1")))
+
+  val tilesSql: String =
+    s"""tiles AS (
+       |  SELECT DISTINCT array_id AS vid, CAST(i0 // $Tile0 AS BIGINT) AS v0,
+       |    CAST(0 AS BIGINT) AS v1,
+       |    array_id || '/' || CAST(i0 // $Tile0 AS BIGINT) || '-0' AS hash_key
+       |  FROM cells
+       |)""".stripMargin
+}

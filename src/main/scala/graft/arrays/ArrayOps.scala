@@ -1,0 +1,296 @@
+package graft.arrays
+
+import graft.Det
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2-A: the reference's array-adapter surface re-expressed as Spark
+  * operators over the long-form cell model. Each operator cites the
+  * reference behavior it matches (file:line in /root/reference).
+  */
+object ArrayOps {
+  import ArrayModel._
+
+  // --- a1_grid_build: materialize the collection (base.py:111 create) -----
+  def a1GridBuild(s: SparkSession, dir: String): DataFrame =
+    cells(s, dir).orderBy("array_id", "i0", "i1")
+
+  val a1Sql: String =
+    s"""WITH $cellsSql
+       |SELECT * FROM cells ORDER BY array_id, i0, i1""".stripMargin
+
+  // --- a2_subset_read: read_data(array, bounds) (base.py:225-270) ---------
+  // bounds = [5:15, 2:10] on array 'click'. On partitioned+sorted storage
+  // this is pruning + row-group skip; the filter reaches the scan.
+  def sliceRead(c: DataFrame, arrayId: String,
+                b0: (Long, Long), b1: (Long, Long)): DataFrame =
+    c.filter(col("array_id") === arrayId &&
+             col("i0") >= b0._1 && col("i0") < b0._2 &&
+             col("i1") >= b1._1 && col("i1") < b1._2)
+
+  def a2SubsetRead(s: SparkSession, dir: String): DataFrame =
+    sliceRead(cells(s, dir), "click", (5L, 15L), (2L, 10L))
+      .select("array_id", "i0", "i1", "value")
+      .orderBy("i0", "i1")
+
+  val a2Sql: String =
+    s"""WITH $cellsSql
+       |SELECT array_id, i0, i1, value FROM cells
+       |WHERE array_id = 'click' AND i0 >= 5 AND i0 < 15 AND i1 >= 2 AND i1 < 10
+       |ORDER BY i0, i1""".stripMargin
+
+  // --- a3_subset_update: update(array, bounds, data) (base.py:272-303) ----
+  // Copy-on-write patch: a narrow map-side CASE WHEN — no shuffle, no
+  // driver collect. Patch grid value = i0*16+i1 (a deterministic payload
+  // standing in for the request body).
+  def patch(c: DataFrame, arrayId: String,
+            b0: (Long, Long), b1: (Long, Long), data: Column): DataFrame = {
+    val inBounds = col("array_id") === arrayId &&
+      col("i0") >= b0._1 && col("i0") < b0._2 &&
+      col("i1") >= b1._1 && col("i1") < b1._2
+    c.withColumn("value", when(inBounds, data).otherwise(col("value")))
+  }
+
+  def a3SubsetUpdate(s: SparkSession, dir: String): DataFrame =
+    patch(cells(s, dir), "click", (10L, 20L), (4L, 12L),
+          (col("i0") * 16 + col("i1")).cast("double"))
+      .filter(col("array_id") === "click")
+      .select("i0", "i1", "value")
+      .orderBy("i0", "i1")
+
+  val a3Sql: String =
+    s"""WITH $cellsSql
+       |SELECT i0, i1,
+       |  CASE WHEN i0 >= 10 AND i0 < 20 AND i1 >= 4 AND i1 < 12
+       |       THEN CAST(i0 * 16 + i1 AS DOUBLE) ELSE value END AS value
+       |FROM cells WHERE array_id = 'click' ORDER BY i0, i1""".stripMargin
+
+  // --- a4_subset_clear: clear(array, bounds) (base.py:305-311) ------------
+  def a4SubsetClear(s: SparkSession, dir: String): DataFrame =
+    patch(cells(s, dir), "error", (0L, 10L), (0L, 8L), lit(0.0))
+      .filter(col("array_id") === "error")
+      .groupBy("array_id")
+      .agg(count(lit(1)).as("n_cells"),
+           Det.dsum(col("value")).as("value_sum"),
+           count(when(col("value") === 0.0, 1)).as("n_zero"))
+
+  val a4Sql: String =
+    s"""WITH $cellsSql, cleared AS (
+       |  SELECT array_id,
+       |    CASE WHEN i0 >= 0 AND i0 < 10 AND i1 >= 0 AND i1 < 8
+       |         THEN 0.0 ELSE value END AS value
+       |  FROM cells WHERE array_id = 'error')
+       |SELECT array_id, COUNT(*) AS n_cells,
+       |  ${Det.sqlDsum("value")} AS value_sum,
+       |  COUNT(CASE WHEN value = 0.0 THEN 1 END) AS n_zero
+       |FROM cleared GROUP BY array_id""".stripMargin
+
+  // --- a5_meta_read: read_meta by id (base.py:166-185) --------------------
+  def a5MetaRead(s: SparkSession, dir: String): DataFrame =
+    catalog(s, dir).filter(col("array_id") === "click")
+      .select("coll", "array_id", "dtype", "dim0_size", "dim1_size",
+              "n_cells", "value_sum", "attr_source", "attr_unit")
+
+  val a5Sql: String =
+    s"""WITH $cellsSql, $catalogSql
+       |SELECT coll, array_id, dtype, dim0_size, dim1_size, n_cells,
+       |  value_sum, attr_source, attr_unit
+       |FROM catalog WHERE array_id = 'click'""".stripMargin
+
+  // --- a6_attrs_update: update_meta_custom_attributes (base.py:187-208) ---
+  // Custom attrs held as a map column; update = map_concat overwrite.
+  // Output serialized with fixed key order so the oracle is stable.
+  def a6AttrsUpdate(s: SparkSession, dir: String): DataFrame =
+    catalog(s, dir)
+      .withColumn("attrs", map(
+        lit("source"), col("attr_source"),
+        lit("unit"), col("attr_unit")))
+      .withColumn("attrs", map_concat(
+        map_filter(col("attrs"), (k, _) => k =!= "unit"),
+        map(lit("unit"), lit("eur"), lit("quality"), lit("0.9"))))
+      .select(col("array_id"),
+              concat(lit("{\"quality\":\""), col("attrs")("quality"),
+                     lit("\",\"source\":\""), col("attrs")("source"),
+                     lit("\",\"unit\":\""), col("attrs")("unit"),
+                     lit("\"}")).as("custom_attributes"))
+      .orderBy("array_id")
+
+  val a6Sql: String =
+    s"""WITH $cellsSql, $catalogSql
+       |SELECT array_id,
+       |  '{"quality":"0.9","source":"' || attr_source || '","unit":"eur"}'
+       |    AS custom_attributes
+       |FROM catalog ORDER BY array_id""".stripMargin
+
+  // --- a7_get_by_primary: get_by_primary_attributes (base.py:333-382) -----
+  // Lookup key "vid/v0-v1" built exactly like utils/hashing.py:8-21.
+  def a7GetByPrimary(s: SparkSession, dir: String): DataFrame = {
+    val t = tiles(s, dir).filter(col("hash_key") === "view/1-0")
+    val c = cells(s, dir)
+    c.join(broadcast(t),
+           c("array_id") === t("vid") &&
+           (c("i0") / Tile0).cast("long") === t("v0"))
+      .groupBy("vid", "v0", "v1", "hash_key")
+      .agg(count(lit(1)).as("n_cells"),
+           Det.dsum(col("value")).as("value_sum"))
+  }
+
+  val a7Sql: String =
+    s"""WITH $cellsSql, $tilesSql
+       |SELECT vid, v0, v1, hash_key, COUNT(*) AS n_cells,
+       |  ${Det.sqlDsum("value")} AS value_sum
+       |FROM cells JOIN tiles
+       |  ON array_id = vid AND CAST(i0 // $Tile0 AS BIGINT) = v0
+       |WHERE hash_key = 'view/1-0'
+       |GROUP BY vid, v0, v1, hash_key""".stripMargin
+
+  // --- a8_list_arrays: __iter__ over the collection (base.py:436-452) -----
+  def a8ListArrays(s: SparkSession, dir: String): DataFrame =
+    catalog(s, dir)
+      .select("coll", "array_id", "dim0_size", "dim1_size", "n_cells", "value_sum")
+      .orderBy("array_id")
+
+  val a8Sql: String =
+    s"""WITH $cellsSql, $catalogSql
+       |SELECT coll, array_id, dim0_size, dim1_size, n_cells, value_sum
+       |FROM catalog ORDER BY array_id""".stripMargin
+
+  // --- a9_delete_by_vid: delete_all_by_vid (array_adapter.py:41-77) -------
+  // Distributed anti-join of cells against the doomed vid's tiles — the
+  // reference loops a threadpool of per-array HTTP deletes; here one
+  // narrow join does all of them.
+  def a9DeleteByVid(s: SparkSession, dir: String): DataFrame = {
+    val c = cells(s, dir)
+    val doomed = tiles(s, dir).filter(col("vid") === "error")
+    c.join(broadcast(doomed),
+           c("array_id") === doomed("vid") &&
+           (c("i0") / Tile0).cast("long") === doomed("v0"),
+           "left_anti")
+      .groupBy("array_id")
+      .agg(count(lit(1)).as("n_cells"),
+           Det.dsum(col("value")).as("value_sum"))
+      .orderBy("array_id")
+  }
+
+  val a9Sql: String =
+    s"""WITH $cellsSql, $tilesSql
+       |SELECT array_id, COUNT(*) AS n_cells,
+       |  ${Det.sqlDsum("value")} AS value_sum
+       |FROM cells c
+       |WHERE NOT EXISTS (SELECT 1 FROM tiles t
+       |  WHERE t.vid = 'error' AND c.array_id = t.vid
+       |    AND CAST(c.i0 // $Tile0 AS BIGINT) = t.v0)
+       |GROUP BY array_id ORDER BY array_id""".stripMargin
+
+  // --- a10_varray_assemble: vgrid tile <-> global coords ------------------
+  // Pure arithmetic projection (no shuffle): local = (i0 % T, i1),
+  // tile = i0 / T, global = tile·T + local. Round-trips exactly.
+  def a10VarrayAssemble(s: SparkSession, dir: String): DataFrame =
+    cells(s, dir).filter(col("array_id") === "signup")
+      .select(
+        (col("i0") / Tile0).cast("long").as("v0"),
+        pmod(col("i0"), lit(Tile0)).cast("long").as("l0"),
+        col("i1").as("l1"),
+        col("value"))
+      .withColumn("g0", col("v0") * Tile0 + col("l0"))
+      .withColumn("g1", col("l1"))
+      .orderBy("g0", "g1")
+
+  val a10Sql: String =
+    s"""WITH $cellsSql
+       |SELECT CAST(i0 // $Tile0 AS BIGINT) AS v0,
+       |  CAST(i0 % $Tile0 AS BIGINT) AS l0, i1 AS l1, value,
+       |  CAST(i0 // $Tile0 AS BIGINT) * $Tile0 + CAST(i0 % $Tile0 AS BIGINT) AS g0,
+       |  i1 AS g1
+       |FROM cells WHERE array_id = 'signup' ORDER BY g0, g1""".stripMargin
+
+  // --- a11_hashring_place: consistent-hash placement (hash_ring.py) -------
+  // genKey as a codegen'd column expression; successor lookup against the
+  // ring as a literal sorted array (120·N longs) — zero shuffle, placement
+  // of any number of tiles is embarrassingly parallel.
+  private def placeExpr(ring: HashRing, keyCol: String): Column = {
+    val keys = ring.sortedKeys
+    val arr = array(keys.map(lit(_)): _*)
+    val h = expr(HashRing.sparkGenKey(keyCol))
+    val ringKey = coalesce(
+      array_min(filter(arr, k => k > h)), lit(keys.head))
+    // ring-key -> node via a small literal map
+    val kv = ring.ring.sortBy(_._1).flatMap { case (k, n) => Seq(lit(k), lit(n)) }
+    element_at(map(kv: _*), ringKey)
+  }
+
+  def a11HashringPlace(s: SparkSession, dir: String): DataFrame =
+    tiles(s, dir)
+      .withColumn("node", placeExpr(HashRing.current, "hash_key"))
+      .select("vid", "v0", "v1", "hash_key", "node")
+      .orderBy("vid", "v0")
+
+  private def duckPlace(ring: HashRing, alias: String): String =
+    s"""COALESCE(
+       |  (SELECT MIN(k) FROM $alias WHERE k > ${HashRing.duckGenKey("hash_key")}),
+       |  (SELECT MIN(k) FROM $alias))""".stripMargin
+
+  val a11Sql: String =
+    s"""WITH $cellsSql, $tilesSql,
+       |ring(k, node) AS (VALUES ${HashRing.current.sqlValues})
+       |SELECT vid, v0, v1, hash_key,
+       |  (SELECT node FROM ring WHERE k = ${duckPlace(HashRing.current, "ring")}) AS node
+       |FROM tiles ORDER BY vid, v0""".stripMargin
+
+  // --- a12_ring_rebalance: current vs target ring diff --------------------
+  // cluster_config.py:126-145 keeps a current + target HashRing during
+  // rebalancing; an array is "moved" when its owner differs (models.py
+  // Status.MOVED / utils/requests.py:117-121).
+  def a12RingRebalance(s: SparkSession, dir: String): DataFrame =
+    tiles(s, dir)
+      .withColumn("node", placeExpr(HashRing.current, "hash_key"))
+      .withColumn("target_node", placeExpr(HashRing.target, "hash_key"))
+      .withColumn("status",
+        when(col("node") =!= col("target_node"), lit("exported"))
+          .otherwise(lit("normal")))
+      .select("vid", "v0", "hash_key", "node", "target_node", "status")
+      .orderBy("vid", "v0")
+
+  val a12Sql: String =
+    s"""WITH $cellsSql, $tilesSql,
+       |ring(k, node) AS (VALUES ${HashRing.current.sqlValues}),
+       |tring(k, node) AS (VALUES ${HashRing.target.sqlValues}),
+       |placed AS (
+       |  SELECT vid, v0, hash_key,
+       |    (SELECT node FROM ring WHERE k = ${duckPlace(HashRing.current, "ring")}) AS node,
+       |    (SELECT node FROM tring WHERE k = ${duckPlace(HashRing.target, "tring")}) AS target_node
+       |  FROM tiles)
+       |SELECT vid, v0, hash_key, node, target_node,
+       |  CASE WHEN node <> target_node THEN 'exported' ELSE 'normal' END AS status
+       |FROM placed ORDER BY vid, v0""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_grid_build" -> (a1GridBuild _),
+    "a2_subset_read" -> (a2SubsetRead _),
+    "a3_subset_update" -> (a3SubsetUpdate _),
+    "a4_subset_clear" -> (a4SubsetClear _),
+    "a5_meta_read" -> (a5MetaRead _),
+    "a6_attrs_update" -> (a6AttrsUpdate _),
+    "a7_get_by_primary" -> (a7GetByPrimary _),
+    "a8_list_arrays" -> (a8ListArrays _),
+    "a9_delete_by_vid" -> (a9DeleteByVid _),
+    "a10_varray_assemble" -> (a10VarrayAssemble _),
+    "a11_hashring_place" -> (a11HashringPlace _),
+    "a12_ring_rebalance" -> (a12RingRebalance _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_grid_build" -> a1Sql,
+    "a2_subset_read" -> a2Sql,
+    "a3_subset_update" -> a3Sql,
+    "a4_subset_clear" -> a4Sql,
+    "a5_meta_read" -> a5Sql,
+    "a6_attrs_update" -> a6Sql,
+    "a7_get_by_primary" -> a7Sql,
+    "a8_list_arrays" -> a8Sql,
+    "a9_delete_by_vid" -> a9Sql,
+    "a10_varray_assemble" -> a10Sql,
+    "a11_hashring_place" -> a11Sql,
+    "a12_ring_rebalance" -> a12Sql,
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.arrays.{ArrayModel, ArrayOps, HashRing}
+import org.apache.spark.sql.functions._
+
+class ArraySpec extends SparkSpec {
+
+  test("every array op runs non-empty at sf0.001") {
+    ArrayOps.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("hash ring: weighted vnode counts match reference formula") {
+    // hash_ring.py:38 factor = floor(40*N*w/totalW); 3 keys per vnode
+    val r = HashRing.current // nodes a,b,c with c weighted 2 (total 4)
+    val perNode = r.ring.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perNode("node-a") == math.floor(40.0 * 3 * 1 / 4).toInt * 3)
+    assert(perNode("node-c") == math.floor(40.0 * 3 * 2 / 4).toInt * 3)
+  }
+
+  test("hash ring: deterministic and ketama-distributed") {
+    val r = HashRing.current
+    val keys = (0 until 1000).map(i => s"key-$i")
+    val assign = keys.map(r.getNode)
+    assert(assign == keys.map(r.getNode)) // deterministic
+    val counts = assign.groupBy(identity).view.mapValues(_.size).toMap
+    // weighted node should get roughly 2x traffic; all nodes nonzero
+    assert(counts.values.forall(_ > 0))
+    assert(counts("node-c") > counts("node-a"))
+  }
+
+  test("hash ring: adding a node only moves keys, never reshuffles all") {
+    val keys = (0 until 1000).map(i => s"key-$i")
+    val before = keys.map(HashRing.current.getNode)
+    val after = keys.map(HashRing.target.getNode)
+    val moved = before.zip(after).count { case (b, a) => b != a }
+    // consistent hashing: only ~1/(N+1) of keys move to the new node
+    assert(moved < 500, s"moved $moved of 1000 — not consistent hashing")
+    // and every moved key moved TO the new node or due to ring perturbation;
+    // the new node must own a nonzero share
+    assert(after.contains("node-d"))
+  }
+
+  test("spark placement expression agrees with driver-side Scala ring") {
+    val df = ArrayOps.a11HashringPlace(spark, sf)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val key = r.getAs[String]("hash_key")
+      assert(r.getAs[String]("node") == HashRing.current.getNode(key),
+        s"spark placement diverges from scala ring for $key")
+    }
+  }
+
+  test("patch then read-back returns patched values inside bounds only") {
+    val c = ArrayModel.cells(spark, sf)
+    val patched = ArrayOps.patch(c, "click", (10L, 20L), (4L, 12L), lit(-1.0))
+    val in = patched.filter(col("array_id") === "click" &&
+      col("i0") >= 10 && col("i0") < 20 && col("i1") >= 4 && col("i1") < 12)
+    val out = patched.filter(col("array_id") === "click" &&
+      !(col("i0") >= 10 && col("i0") < 20 && col("i1") >= 4 && col("i1") < 12))
+    assert(in.filter(col("value") =!= -1.0).count() == 0)
+    assert(out.filter(col("value") === -1.0).count() == 0)
+  }
+
+  test("varray assemble round-trips global coords") {
+    val df = ArrayOps.a10VarrayAssemble(spark, sf)
+    assert(df.filter(col("g0") =!= col("v0") * ArrayModel.Tile0 + col("l0")).count() == 0)
+    // reassembled coords must match the original cells slice
+    val orig = ArrayModel.cells(spark, sf).filter(col("array_id") === "signup")
+      .select(col("i0").as("g0"), col("i1").as("g1"), col("value"))
+    assert(df.select("g0", "g1", "value").except(orig).count() == 0)
+  }
+
+  test("slice read filter is pushed down to the parquet scan") {
+    // the i-index filters derive from event columns; the events scan must
+    // carry pushed filters (event_type at minimum after Catalyst rewrites)
+    val plan = ArrayOps.a2SubsetRead(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("event_type"),
+      s"expected pushdown into scan:\n$plan")
+  }
+}
