@@ -16,10 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ arrays.ArrayOps.queries
+    operators.Relational.queries ++ arrays.ArrayOps.queries ++
+      pipeline.TextAnalysis.queries ++ pipeline.Dedup.queries ++
+      pipeline.Similarity.queries ++ pipeline.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ arrays.ArrayOps.oracles
+    operators.Relational.oracles ++ arrays.ArrayOps.oracles ++
+      pipeline.TextAnalysis.oracles ++ pipeline.Dedup.oracles ++
+      pipeline.Similarity.oracles ++ pipeline.Multimodal.oracles ++
+      streaming.Streams.oracles
 }

@@ -1,0 +1,240 @@
+package graft.pipeline
+
+import graft.arrays.HashRing
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2-C deduplication family over `documents` / `embeddings`.
+  *
+  * Scale story: d1 is a single hash-agg; d2 (MinHash+LSH) generates
+  * candidates by band-bucket equi-join so exact verification never goes
+  * O(n²); d3 reduces each doc to a 32-bit sketch (constant state per doc);
+  * d4 restricts exact Jaccard to pairs sharing >=1 shingle; d5 is the
+  * exact-verify stage a bucketed ANN (s2) would feed at scale.
+  */
+object Dedup {
+
+  // ---- shared shingle/minhash machinery ----------------------------------
+  val NumPerm = 16
+  val Bands = 4 // x 4 rows per band
+  val P = 1000000007L
+  /** Fixed permutation coefficients, a_j odd, all < 2^30 (overflow-safe:
+    * a*h + b < 2^30 * 2^32 < 2^63 on both engines).
+    */
+  val permA: Seq[Long] = (0 until NumPerm).map(j => (((j + 1) * 2654435761L) % P) | 1L)
+  val permB: Seq[Long] = (0 until NumPerm).map(j => ((j + 1) * 40503L * 65537L + 12345L) % P)
+
+  /** 3-word shingles of the space-tokenized text (set semantics). */
+  private def shingleCol: Column =
+    when(size(col("toks")) >= 3,
+      expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .otherwise(array(concat_ws(" ", col("toks"))))
+
+  private val shinglesSqlDuck: String =
+    """CASE WHEN len(t) >= 3
+      |     THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |     ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  /** Distinct (doc_id, shingle) pairs. */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .distinct()
+
+  val shinglesSql: String =
+    s"""shingles AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest($shinglesSqlDuck) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       |)""".stripMargin
+
+  // --- d1_exact_dedup: content-hash groups (one hash-agg) -----------------
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .select(col("content_hash"), col("n_copies"), col("keep_id"),
+              (col("n_copies") > 1).as("is_dup_group"))
+      .orderBy("content_hash")
+
+  val d1Sql: String =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keep_id, COUNT(*) > 1 AS is_dup_group
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  // --- d2_minhash_lsh: near-dup candidate pairs ---------------------------
+  /** MinHash signatures: explode shingles -> one pass of NumPerm mins
+    * (map-side combine; shuffle only on doc_id).
+    */
+  def signatures(s: SparkSession, dir: String): DataFrame = {
+    val h = expr(HashRing.sparkGenKey("s"))
+    val aggs = (0 until NumPerm).map { j =>
+      min(pmod(lit(permA(j)) * h + lit(permB(j)), lit(P))).as(s"sig_$j")
+    }
+    shingles(s, dir)
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerm).map(j => col(s"sig_$j")): _*).as("sigs"))
+  }
+
+  val signaturesSql: String = {
+    val mins = (0 until NumPerm).map { j =>
+      s"MIN((${permA(j)} * ${HashRing.duckGenKey("s")} + ${permB(j)}) % $P)"
+    }.mkString(", ")
+    s"""sigs AS (
+       |  SELECT doc_id, [$mins] AS sigs
+       |  FROM shingles GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(s, dir).cache()
+    val bands = sig
+      .select(col("doc_id"), explode(array((0 until Bands).map(lit(_)): _*)).as("band"), col("sigs"))
+      .withColumn("bkey", concat_ws(",",
+        (1 to NumPerm / Bands).map(r => element_at(col("sigs"), col("band") * (NumPerm / Bands) + r)): _*))
+      .select("doc_id", "band", "bkey")
+    val l = bands.as("l"); val r = bands.as("r")
+    val pairs = l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_match",
+        size(filter(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y), b => b)).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+              (col("n_match").cast("double") / NumPerm).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d2Sql: String = {
+    val rows = NumPerm / Bands
+    val bkey = (1 to rows).map(r => s"CAST(sigs[b * $rows + $r] AS VARCHAR)").mkString(" || ',' || ")
+    s"""WITH $shinglesSql, $signaturesSql,
+       |bands AS (
+       |  SELECT doc_id, b AS band, $bkey AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b,
+       |  len(list_filter(range(1, $NumPerm + 1), i -> sa.sigs[i] = sb.sigs[i])) AS n_match,
+       |  CAST(len(list_filter(range(1, $NumPerm + 1), i -> sa.sigs[i] = sb.sigs[i])) AS DOUBLE) / $NumPerm AS est_jaccard
+       |FROM pairs JOIN sigs sa ON doc_a = sa.doc_id JOIN sigs sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // --- d3_simhash: 32-bit sketch + prefix bucket --------------------------
+  def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val h = expr(HashRing.sparkGenKey("tok"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"bit_$b")
+    }
+    val fp = (0 until 32).map { b =>
+      when(col(s"bit_$b") > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .withColumn("bucket", shiftright(col("simhash"), 24))
+      .orderBy("doc_id")
+  }
+
+  val d3Sql: String = {
+    val h = HashRing.duckGenKey("tok")
+    val bitSums = (0 until 32).map { b =>
+      s"    SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS bit_$b"
+    }.mkString(",\n")
+    val fp = (0 until 32).map { b =>
+      s"CASE WHEN bit_$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bits AS (
+       |  SELECT doc_id,
+       |$bitSums
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash,
+       |  CAST($fp AS BIGINT) >> 24 AS bucket
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  // --- d4_ngram_jaccard: exact verify on shingle-sharing pairs ------------
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val l = sh.as("l"); val r = sh.as("r")
+    val inter = l.join(r, col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") > 0.3)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d4Sql: String =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM shingles l JOIN shingles r ON l.s = r.s AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+       |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) > 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- d5_embed_dedup: embedding-cosine near-dup pairs --------------------
+  // Exact cosine via sequential fold (bit-identical on both engines);
+  // norms precomputed once per vector. The scale path replaces the
+  // all-pairs join with s2's LSH buckets as the candidate generator.
+  def d5EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.normed(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("emb").as("ea"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb").as("eb"), col("norm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cosine") >= 0.45)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  val d5Sql: String =
+    s"""WITH ${Similarity.normedSql}
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${Similarity.cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} AS cosine
+       |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+       |WHERE ${Similarity.cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} >= 0.45
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1ExactDedup _),
+    "d2_minhash_lsh" -> (d2MinhashLsh _),
+    "d3_simhash" -> (d3Simhash _),
+    "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d5_embed_dedup" -> (d5EmbedDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_lsh" -> d2Sql,
+    "d3_simhash" -> d3Sql,
+    "d4_ngram_jaccard" -> d4Sql,
+    "d5_embed_dedup" -> d5Sql,
+  )
+}

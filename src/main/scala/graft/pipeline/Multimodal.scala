@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2-C multimodal-column plumbing.
+  *
+  * Real pipelines carry image/audio/video as opaque `binary` columns with
+  * typed metadata and decode via vectorized UDFs over batches. The media
+  * codecs are NOT available in this environment, so the decode step is a
+  * clearly-marked deterministic STUB — but everything Spark-cares-about is
+  * real: the binary column, the case-class Encoders, the `mapPartitions`
+  * batch shape (one decoder init per partition, streamed rows), and the
+  * derived-metadata schema.
+  */
+object Multimodal {
+
+  /** A document's payload as an opaque binary blob. */
+  case class DocBlob(doc_id: Long, data: Array[Byte])
+
+  /** Metadata a real decoder would emit. */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+                       height: Long, format: String)
+
+  /** STUB decoder: stands in for e.g. an image codec. Deterministic
+    * function of the bytes only, so the oracle can verify the plumbing.
+    * A real deployment swaps this body for the codec call; the partition
+    * shape (init-once, stream rows) is already right.
+    */
+  def stubDecode(b: DocBlob): MediaMeta = MediaMeta(
+    doc_id = b.doc_id,
+    n_bytes = b.data.length.toLong,
+    width = 16L + (b.data.length % 64),
+    height = 16L + ((b.data.headOption.getOrElse(0: Byte) & 0xff) % 32),
+    format = "fake/raw")
+
+  // --- m1_multimodal ------------------------------------------------------
+  def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[DocBlob]
+      .mapPartitions { it =>
+        // decoder init would happen here, once per partition
+        it.map(stubDecode)
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // The stub formula is a function of the (ascii) payload bytes, so the
+  // oracle can check the full path: octet length == char length here.
+  val m1Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  16 + CAST(length(text) AS BIGINT) % 64 AS width,
+      |  16 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 32 AS height,
+      |  'fake/raw' AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_multimodal" -> (m1Multimodal _))
+
+  val oracles: Map[String, String] = Map(
+    "m1_multimodal" -> m1Sql)
+}

@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2-C similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  * s1 is the exact baseline: broadcast the (small) query set against all
+  * vectors — at 100 TB the vector side stays partitioned and untouched,
+  * the query side is broadcast, and per-partition top-k folds into a final
+  * top-k (TakeOrdered semantics via window + filter here).
+  * s2 is the scale path: random-hyperplane LSH buckets as candidate
+  * generator, exact cosine only inside the bucket.
+  *
+  * All vector math is sequential-fold double arithmetic (codegen'd
+  * higher-order functions, no UDFs) so the DuckDB oracle is bit-exact.
+  */
+object Similarity {
+
+  /** Embeddings with double-cast vectors + precomputed L2 norm. */
+  def normed(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm",
+        sqrt(expr("aggregate(transform(emb, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+      .select("vec_id", "label", "emb", "norm")
+
+  val normedSql: String =
+    """normed AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+      |    sqrt(list_reduce(
+      |      list_prepend(0.0, list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+      |      (acc, x) -> acc + x)) AS norm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** Exact cosine: left-fold dot product / precomputed norms. */
+  def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(ea, eb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+
+  def cosineSql(a: String, b: String, na: String, nb: String): String =
+    s"""list_reduce(list_prepend(0.0,
+       |    list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+       |    (acc, x) -> acc + x) / ($na * $nb)""".stripMargin
+
+  // --- s1_knn_brute: exact top-10 cosine neighbors for queries id<5 -------
+  def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val s1Sql: String =
+    s"""WITH $normedSql,
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |    ${cosineSql("q.emb", "e.emb", "q.norm", "e.norm")} AS cosine
+       |  FROM normed q JOIN normed e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
+       |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+
+  // --- s2_lsh_ann: random-hyperplane buckets + in-bucket exact top-3 ------
+  val NumPlanes = 4
+  /** Deterministic pseudo-random hyperplanes in [-1,1): LCG over (p,d).
+    * Values are dyadic rationals -> exact decimal literals -> both engines
+    * parse the identical double.
+    */
+  val planes: Seq[Seq[Double]] = (0 until NumPlanes).map { p =>
+    (0 until 64).map { d =>
+      val v = (1103515245L * (p * 64 + d) + 12345L) % 2147483648L
+      v.toDouble / 2147483648.0 * 2.0 - 1.0
+    }
+  }
+
+  private def litPlane(p: Seq[Double]): Column =
+    array(p.map(lit(_)): _*)
+
+  private def planeSqlList(p: Seq[Double]): String =
+    "[" + p.map(x => new java.math.BigDecimal(x).toPlainString).mkString(", ") + "]"
+
+  /** Sign-bucket id as a pure column expression. */
+  def bucketCol: Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(col("emb"), litPlane(p), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def bucketSqlExpr(emb: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = s"""list_reduce(list_prepend(0.0,
+                   |  list_transform(range(1, 65), i -> $emb[i] * (${planeSqlList(p)})[i])),
+                   |  (acc, x) -> acc + x)""".stripMargin
+      s"CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+
+  def s2LshAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir).withColumn("bucket", bucketCol)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+              col("emb").as("qe"), col("norm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("q_bucket").as("bucket"), col("rnk"),
+              col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val s2Sql: String =
+    s"""WITH $normedSql,
+       |bucketed AS (
+       |  SELECT vec_id, emb, norm,
+       |    CAST(${bucketSqlExpr("emb")} AS BIGINT) AS bucket
+       |  FROM normed),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.bucket AS bucket, e.vec_id AS neighbor_id,
+       |    ${cosineSql("q.emb", "e.emb", "q.norm", "e.norm")} AS cosine
+       |  FROM bucketed q JOIN bucketed e
+       |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |ranked AS (
+       |  SELECT q_id, bucket, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, bucket, rnk, neighbor_id, cosine FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_knn_brute" -> (s1KnnBrute _),
+    "s2_lsh_ann" -> (s2LshAnn _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_knn_brute" -> s1Sql,
+    "s2_lsh_ann" -> s2Sql,
+  )
+}

@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2-C text analysis: language-ID, quality scoring, token counting,
+  * fingerprinting over `documents`. All pure column expressions — no UDFs,
+  * no shuffle (except final ordering); at 100 TB these are embarrassingly
+  * parallel map-side transforms that stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Per-"language" marker token sets for the n-gram-heuristic language ID.
+    * (The corpus is synthetic; the operator demonstrates the mechanics:
+    * score = marker hits, argmax with lexicographic tiebreak.)
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("data", "key", "group"),
+    "en" -> Seq("the", "a", "order"),
+    "es" -> Seq("table", "row", "value"),
+    "fr" -> Seq("join", "filter", "merge"),
+    "zh" -> Seq("hash", "scan", "sort"))
+
+  private val langs = markers.keys.toSeq.sorted
+
+  // --- t1_langid ----------------------------------------------------------
+  def t1Langid(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", toks)
+    val withScores = markers.foldLeft(scored) { case (df, (lang, ws)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(col("toks"), t => ws.map(w => t === w).reduce(_ || _))).cast("long"))
+    }
+    // argmax with lexicographic tiebreak: iterate langs in sorted order,
+    // strict > keeps the earlier lang on ties
+    val (l0 :: rest) = langs.toList: @unchecked
+    val pred = rest.foldLeft((lit(l0), col(s"score_$l0"))) {
+      case ((bestLang, bestScore), lang) =>
+        val sc = col(s"score_$lang")
+        (when(sc > bestScore, lit(lang)).otherwise(bestLang),
+         when(sc > bestScore, sc).otherwise(bestScore))
+    }
+    withScores
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +:
+        pred._1.as("pred_lang") +: langs.map(l => col(s"score_$l")): _*)
+      .orderBy("doc_id")
+  }
+
+  val t1Sql: String = {
+    val scoreExprs = langs.map { l =>
+      val ws = markers(l).map(w => s"t = '$w'").mkString(" OR ")
+      s"    len(list_filter(string_split(text, ' '), t -> $ws)) AS score_$l"
+    }.mkString(",\n")
+    val (l0 :: rest) = langs.toList: @unchecked
+    val pred = rest.foldLeft(s"'$l0'" -> s"score_$l0") {
+      case ((bl, bs), l) =>
+        (s"CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END",
+         s"CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END")
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |$scoreExprs
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang, ${pred._1} AS pred_lang,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // --- t2_quality_score ---------------------------------------------------
+  // length / token-length / marker-density ratios -> [0,1] quality score.
+  def t2Quality(s: SparkSession, dir: String): DataFrame = {
+    val allMarkers = markers.values.flatten.toSeq.sorted
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_marker", size(filter(col("toks"),
+        t => allMarkers.map(w => t === w).reduce(_ || _))).cast("long"))
+      .withColumn("len_nospace",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("avg_token_len",
+        col("len_nospace").cast("double") / col("n_tokens"))
+      .withColumn("marker_ratio",
+        col("n_marker").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.4 +
+          col("marker_ratio") * 0.3 +
+          least(col("avg_token_len") / 8, lit(1.0)) * 0.3)
+      .select("doc_id", "n_tokens", "avg_token_len", "marker_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  val t2Sql: String = {
+    val allMarkers = markers.values.flatten.toSeq.sorted
+    val hit = allMarkers.map(w => s"t = '$w'").mkString(" OR ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> $hit)) AS BIGINT) AS n_marker,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS len_nospace
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  CAST(len_nospace AS DOUBLE) / n_tokens AS avg_token_len,
+       |  CAST(n_marker AS DOUBLE) / n_tokens AS marker_ratio,
+       |  LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4 +
+       |    (CAST(n_marker AS DOUBLE) / n_tokens) * 0.3 +
+       |    LEAST((CAST(len_nospace AS DOUBLE) / n_tokens) / 8, 1.0) * 0.3 AS quality
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  // --- t3_token_count: whitespace + BPE-ish regex tokenization ------------
+  def t3TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  val t3Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- t4_fingerprint: rolling polynomial hash of the char stream ---------
+  // fold-left (acc*31 + ascii(c)) mod 1e9+7 — sequential fold, identical
+  // on both engines; a codegen'd higher-order function, no UDF.
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
+               |  (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)
+               |""".stripMargin).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val t4Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_langid" -> (t1Langid _),
+    "t2_quality_score" -> (t2Quality _),
+    "t3_token_count" -> (t3TokenCount _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_langid" -> t1Sql,
+    "t2_quality_score" -> t2Sql,
+    "t3_token_count" -> t3Sql,
+    "t4_fingerprint" -> t4Sql,
+  )
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2-D Structured Streaming over the `events` table.
+  *
+  * The same transform runs in both modes: `readStream` + watermark for the
+  * streaming path (exercised in StreamingSpec against a file source), and
+  * the batch DataFrame for the driver's oracle (Catalyst eliminates the
+  * watermark node on batch). That's the Spark-native contract: one logical
+  * plan, two execution modes.
+  */
+object Streams {
+
+  /** events schema for readStream (streaming sources need explicit schema).
+    * ts arrives as nanos (see Tables.events) and is converted.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stream events from a directory of events parquet files (file-source
+    * contract: the path must be a directory; new files become new
+    * micro-batches).
+    */
+  def readEventsStream(s: SparkSession, eventsDir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // --- st1_stream_window: tumbling 1h window + watermark ------------------
+  /** Shared transform: watermarked tumbling-window aggregation. */
+  def windowAggTransform(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(Det.dsum(col("value")).as("total_value"),
+           count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("total_value"), col("n_events"))
+
+  def st1StreamWindow(s: SparkSession, dir: String): DataFrame =
+    windowAggTransform(Tables.events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  val st1Sql: String =
+    s"""SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_start,
+       |  event_type, ${Det.sqlDsum("value")} AS total_value,
+       |  COUNT(*) AS n_events
+       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // --- st2_stream_dedup: first event per (user, type) ---------------------
+  /** Shared transform: streaming dropDuplicates semantics = keep the
+    * earliest-event-time row per key. Batch form uses min_by so the result
+    * is deterministic and oracle-checkable.
+    */
+  def st2StreamDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min_by(col("event_id"), col("ts")).as("first_event_id"),
+           unix_micros(min(col("ts"))).as("first_ts_us"))
+      .orderBy("user_id", "event_type")
+
+  /** The genuinely-streaming dedup used by the spec. */
+  def streamingDedupTransform(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+
+  val st2Sql: String =
+    """SELECT user_id, event_type,
+      |  arg_min(event_id, ts) AS first_event_id,
+      |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts_us
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_window" -> (st1StreamWindow _),
+    "st2_stream_dedup" -> (st2StreamDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_window" -> st1Sql,
+    "st2_stream_dedup" -> st2Sql,
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("every pipeline op runs non-empty at sf0.001") {
+    (TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries).foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("d2 LSH candidates recover the high-jaccard pairs d4 finds") {
+    // LSH with 4x4 bands: P(candidate) = 1-(1-j^4)^4 => ~1.0 for j>0.9.
+    // Every pair d4 verifies above 0.9 must be produced by the LSH pass.
+    val lsh = Dedup.d2MinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.d4NgramJaccard(spark, sf)
+      .filter(col("jaccard") > 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(exact.subsetOf(lsh),
+      s"LSH missed high-jaccard pairs: ${exact -- lsh}")
+  }
+
+  test("d3 simhash: near-dup docs have small hamming distance") {
+    val sim = Dedup.d3Simhash(spark, sf).select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.d4NgramJaccard(spark, sf).filter(col("jaccard") > 0.9)
+      .select("doc_a", "doc_b").collect()
+    pairs.foreach { r =>
+      val d = java.lang.Long.bitCount(sim(r.getLong(0)) ^ sim(r.getLong(1)))
+      assert(d <= 6, s"near-dup pair ${r} has hamming distance $d")
+    }
+  }
+
+  test("s1 knn: neighbors are truly the top-k (spot-check query 0)") {
+    val e = Similarity.normed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Double]]("emb").toArray, r.getAs[Double]("norm"))).toSeq
+    val (qid, qe, qn) = e.find(_._1 == 0L).get
+    val brute = e.filter(_._1 != qid)
+      .map { case (id, v, n) =>
+        (id, qe.zip(v).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y } / (qn * n))
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = Similarity.s1KnnBrute(spark, sf).filter(col("q_id") === 0)
+      .orderBy("rnk").select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute.toSeq)
+  }
+
+  test("s2 ANN results are a subset of same-bucket exact ranking") {
+    val s2 = Similarity.s2LshAnn(spark, sf)
+    // every returned neighbor shares the query's bucket (join guarantees),
+    // and ranks are contiguous from 1 per query
+    val byQ = s2.groupBy("q_id").agg(collect_list("rnk").as("rnks")).collect()
+    byQ.foreach { r =>
+      val rnks = r.getSeq[Long](1).toList.sorted
+      assert(rnks == (1L to rnks.length).toSeq, s"ranks not contiguous: $rnks")
+    }
+  }
+
+  test("t4 fingerprint matches a JVM-side reference fold") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .limit(20).collect()
+    val got = TextAnalysis.t4Fingerprint(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { r =>
+      val expect = r.getString(1).foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+      assert(got(r.getLong(0)) == expect)
+    }
+  }
+
+  test("m1 multimodal mapPartitions plumbing emits one row per doc") {
+    val docs = Tables.documents(spark, sf).count()
+    val m = Multimodal.m1Multimodal(spark, sf)
+    assert(m.count() == docs)
+    // metadata derived from actual bytes
+    assert(m.filter(col("n_bytes") <= 0).count() == 0)
+  }
+
+  test("pipeline text ops are shuffle-free map plans") {
+    val plan = TextAnalysis.t3TokenCount(spark, sf)
+      .queryExecution.executedPlan.toString
+    // only the final orderBy exchanges; no hash-agg shuffles
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected shuffle in map-only text op:\n$plan")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Exercises the genuinely-streaming path: readStream over the events
+  * parquet, watermarked windowed aggregation and streaming dedup into
+  * memory sinks, checked against the batch equivalents.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** File-source streams need a directory: stage the events file alone. */
+  lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("st1: streaming windowed agg converges to the batch result") {
+    val stream = Streams.readEventsStream(spark, eventsDir)
+    val q = Streams.windowAggTransform(stream)
+      .writeStream.format("memory").queryName("st1_mem")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st1_mem")
+      .select("window_start", "event_type", "total_value", "n_events")
+    val batch = Streams.st1StreamWindow(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "streaming window agg != batch window agg")
+  }
+
+  test("st2: streaming dropDuplicates keeps one row per key") {
+    val stream = Streams.readEventsStream(spark, eventsDir)
+    val q = Streams.streamingDedupTransform(stream)
+      .writeStream.format("memory").queryName("st2_mem")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st2_mem")
+    val expectedKeys = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().count()
+    assert(streamed.count() == expectedKeys)
+    assert(streamed.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+}
