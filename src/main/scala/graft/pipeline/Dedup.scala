@@ -200,17 +200,30 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- d5_embed_dedup: embedding-cosine near-dup pairs --------------------
-  // Exact cosine via sequential fold (bit-identical on both engines);
-  // norms precomputed once per vector. The scale path replaces the
-  // all-pairs join with s2's LSH buckets as the candidate generator.
+  // All-pairs exact verify as a *block kernel*: the vector set is broadcast
+  // (exactly what a broadcast join would ship) and each partition runs
+  // primitive double[] loops — no per-element expression eval over the 2M
+  // pair rows. The accumulation is left-to-right from 0.0, bit-identical
+  // to the oracle's sequential list_reduce. At 100 TB the same kernel runs
+  // per LSH bucket (s2 generates candidates), never all-pairs.
   def d5EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = Similarity.normed(s, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("emb").as("ea"), col("norm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("emb").as("eb"), col("norm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")))
-      .filter(col("cosine") >= 0.45)
-      .select("id_a", "id_b", "cosine")
+      .select("vec_id", "emb", "norm").as[(Long, Array[Double], Double)]
+    val all = e.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(all)
+    e.mapPartitions { it =>
+      val vecs = bc.value
+      it.flatMap { case (idA, ea, na) =>
+        vecs.iterator.filter(_._1 > idA).flatMap { case (idB, eb, nb) =>
+          var acc = 0.0
+          var i = 0
+          while (i < ea.length) { acc += ea(i) * eb(i); i += 1 }
+          val cos = acc / (na * nb)
+          if (cos >= 0.45) Some((idA, idB, cos)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
   }
 

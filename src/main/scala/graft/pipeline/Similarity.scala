@@ -37,9 +37,20 @@ object Similarity {
       |  FROM embeddings
       |)""".stripMargin
 
-  /** Exact cosine: left-fold dot product / precomputed norms. */
+  val Dims = 64
+
+  /** Exact cosine: dot product / precomputed norms.
+    *
+    * The dot is an explicit 64-term sum (dims are fixed by the schema)
+    * rather than an aggregate() fold: higher-order functions evaluate
+    * interpreted per-element, while this stays inside whole-stage codegen —
+    * ~10x faster on the all-pairs join — and `reduce(_+_)` folds left, so
+    * the addition order (and thus the IEEE result) is identical to the
+    * oracle's sequential list_reduce.
+    */
   def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(ea, eb, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (na * nb)
+    (1 to Dims).map(i => element_at(ea, i) * element_at(eb, i))
+      .reduce(_ + _) / (na * nb)
 
   def cosineSql(a: String, b: String, na: String, nb: String): String =
     s"""list_reduce(list_prepend(0.0,
