@@ -204,7 +204,7 @@ object Relational {
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"),
-           approx_count_distinct(col("user_id")).as("n_users_approx"))
+           approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
       .select(col("event_type"), col("n_users"),
               (abs(col("n_users_approx") - col("n_users")) <=
                 col("n_users") * 0.05).as("approx_within_5pct"))
