@@ -205,19 +205,12 @@ object ArrayOps {
        |FROM cells WHERE array_id = 'signup' ORDER BY g0, g1""".stripMargin
 
   // --- a11_hashring_place: consistent-hash placement (hash_ring.py) -------
-  // genKey as a codegen'd column expression; successor lookup against the
-  // ring as a literal sorted array (120·N longs) — zero shuffle, placement
-  // of any number of tiles is embarrassingly parallel.
-  private def placeExpr(ring: HashRing, keyCol: String): Column = {
-    val keys = ring.sortedKeys
-    val arr = array(keys.map(lit(_)): _*)
-    val h = expr(HashRing.sparkGenKey(keyCol))
-    val ringKey = coalesce(
-      array_min(filter(arr, k => k > h)), lit(keys.head))
-    // ring-key -> node via a small literal map
-    val kv = ring.ring.sortBy(_._1).flatMap { case (k, n) => Seq(lit(k), lit(n)) }
-    element_at(map(kv: _*), ringKey)
-  }
+  // genKey as a codegen'd column expression; successor lookup through the
+  // native RingLookup expression (O(log ring) binary search per row) —
+  // zero shuffle, placement of any number of tiles is embarrassingly
+  // parallel.
+  private def placeExpr(ring: HashRing, keyCol: String): Column =
+    graft.plans.RingLookup.place(expr(HashRing.sparkGenKey(keyCol)), ring)
 
   def a11HashringPlace(s: SparkSession, dir: String): DataFrame =
     tiles(s, dir)

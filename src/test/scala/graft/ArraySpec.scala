@@ -52,6 +52,22 @@ class ArraySpec extends SparkSpec {
     }
   }
 
+  test("RingLookup native expression: codegen path agrees with Scala ring at volume") {
+    import graft.plans.RingLookup
+    val df = spark.range(2000)
+      .withColumn("k", concat(lit("key-"), col("id")))
+      .withColumn("h", expr(HashRing.sparkGenKey("k")))
+      .withColumn("node", RingLookup.place(col("h"), HashRing.current))
+    // whole-stage codegen must cover the projection (no interpreted
+    // fallback): "*(n)" marks WholeStageCodegen stages in the plan string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"ring_lookup projection fell out of codegen:\n$plan")
+    df.collect().foreach { r =>
+      assert(r.getAs[String]("node") == HashRing.current.getNode(r.getAs[String]("k")))
+    }
+  }
+
   test("patch then read-back returns patched values inside bounds only") {
     val c = ArrayModel.cells(spark, sf)
     val patched = ArrayOps.patch(c, "click", (10L, 20L), (4L, 12L), lit(-1.0))
