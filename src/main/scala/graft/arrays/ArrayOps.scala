@@ -210,7 +210,7 @@ object ArrayOps {
   // zero shuffle, placement of any number of tiles is embarrassingly
   // parallel.
   private def placeExpr(ring: HashRing, keyCol: String): Column =
-    graft.plans.RingLookup.place(expr(HashRing.sparkGenKey(keyCol)), ring)
+    graft.plans.RingLookup.place(graft.functions.GenKey(col(keyCol)), ring)
 
   def a11HashringPlace(s: SparkSession, dir: String): DataFrame =
     tiles(s, dir)

@@ -1,0 +1,33 @@
+package graft.functions
+
+import graft.arrays.HashRing
+import graft.plans.{RingLookup, RingTable}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registrar: exposes graft's native expressions to
+  * SQL users. Activate with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, then:
+  *
+  * {{{
+  *   SELECT graft_gen_key(k)            -- ring hash position of a key
+  *   SELECT graft_ring_place(graft_gen_key(k))  -- owning node, current ring
+  * }}}
+  *
+  * This is the preference-order-(c) integration path from SURVEY §2:
+  * whole-session extension points rather than per-DataFrame helpers.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_gen_key"),
+      new ExpressionInfo(classOf[GenKey].getName, "graft_gen_key"),
+      (args: Seq[Expression]) => GenKey(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_ring_place"),
+      new ExpressionInfo(classOf[RingLookup].getName, "graft_ring_place"),
+      (args: Seq[Expression]) =>
+        RingLookup(args.head, new RingTable(HashRing.current))))
+  }
+}

@@ -69,7 +69,7 @@ object Dedup {
     * (map-side combine; shuffle only on doc_id).
     */
   def signatures(s: SparkSession, dir: String): DataFrame = {
-    val h = expr(HashRing.sparkGenKey("s"))
+    val h = graft.functions.GenKey(col("s"))
     val aggs = (0 until NumPerm).map { j =>
       min(pmod(lit(permA(j)) * h + lit(permB(j)), lit(P))).as(s"sig_$j")
     }
@@ -135,7 +135,7 @@ object Dedup {
   def d3Simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val h = expr(HashRing.sparkGenKey("tok"))
+    val h = graft.functions.GenKey(col("tok"))
     val bitSums = (0 until 32).map { b =>
       sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"bit_$b")
     }
