@@ -78,13 +78,84 @@ object Streams {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // --- st3_stream_session: custom per-key state (sessionization) ---------
+  /** One closed session per row. total_value is an exact decimal sum
+    * (HALF_UP at scale 4 per element, like CAST(x AS DECIMAL(18,4))) so it
+    * matches the oracle bit-exactly.
+    */
+  case class SessionRow(user_id: Long, sess_idx: Long, n_events: Long,
+                        start_us: Long, end_us: Long, total_value: Double)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Shared sessionizer: split a user's (ts_us, value) events into
+    * 30-min-gap sessions. Used by the batch query via flatMapGroups and by
+    * the streaming path via flatMapGroupsWithState (StreamingSpec).
+    */
+  def buildSessions(userId: Long,
+                    events: Iterator[(Long, Long, Double)]): Iterator[SessionRow] = {
+    val sorted = events.map(e => (e._2, e._3)).toArray.sortBy(_._1)
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Seq.newBuilder[SessionRow]
+      var sessIdx = 0L
+      var start = 0L; var last = Long.MinValue
+      var n = 0L; var sum = java.math.BigDecimal.ZERO
+      def close(): Unit = if (n > 0)
+        out += SessionRow(userId, sessIdx, n, start, last, sum.doubleValue)
+      for ((ts, v) <- sorted) {
+        if (last == Long.MinValue || ts - last > SessionGapUs) {
+          close()
+          sessIdx += 1; start = ts; n = 0; sum = java.math.BigDecimal.ZERO
+        }
+        last = ts; n += 1
+        sum = sum.add(java.math.BigDecimal.valueOf(v)
+          .setScale(4, java.math.RoundingMode.HALF_UP))
+      }
+      close()
+      out.result().iterator
+    }
+  }
+
+  def st3StreamSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups((k: Long, it: Iterator[(Long, Long, Double)]) => buildSessions(k, it))
+      .toDF()
+      .orderBy("user_id", "sess_idx")
+  }
+
+  val st3Sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), sess AS (
+       |  SELECT user_id, value, epoch_us(ts) AS ts_us,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |                        ROWS UNBOUNDED PRECEDING) AS sess_idx
+       |  FROM flagged)
+       |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+       |  COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       |  ${graft.Det.sqlDsum("value")} AS total_value
+       |FROM sess GROUP BY user_id, sess_idx
+       |ORDER BY user_id, sess_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> (st1StreamWindow _),
     "st2_stream_dedup" -> (st2StreamDedup _),
+    "st3_stream_session" -> (st3StreamSession _),
   )
 
   val oracles: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
     "st2_stream_dedup" -> st2Sql,
+    "st3_stream_session" -> st3Sql,
   )
 }

@@ -33,6 +33,31 @@ class StreamingSpec extends SparkSpec {
       "streaming window agg != batch window agg")
   }
 
+  test("st3: flatMapGroupsWithState sessionization equals the batch sessionizer") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val stream = Streams.readEventsStream(spark, eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[(Long, Long, Double)], state: GroupState[Long]) => {
+          // exercise real state: count sessions emitted so far for the key
+          val sessions = Streams.buildSessions(k, it).toSeq
+          state.update(state.getOption.getOrElse(0L) + sessions.size)
+          sessions.iterator
+        })
+    val q = stream.toDF().writeStream.format("memory")
+      .queryName("st3_mem").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st3_mem")
+    val batch = Streams.st3StreamSession(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "streaming sessionization != batch sessionization")
+  }
+
   test("st2: streaming dropDuplicates keeps one row per key") {
     val stream = Streams.readEventsStream(spark, eventsDir)
     val q = Streams.streamingDedupTransform(stream)
