@@ -23,10 +23,35 @@ object ArrayOps {
   // bounds = [5:15, 2:10] on array 'click'. On partitioned+sorted storage
   // this is pruning + row-group skip; the filter reaches the scan.
   def sliceRead(c: DataFrame, arrayId: String,
-                b0: (Long, Long), b1: (Long, Long)): DataFrame =
+                b0: (Long, Long), b1: (Long, Long)): DataFrame = {
+    graft.Errors.requireBounds(b0, b1)
     c.filter(col("array_id") === arrayId &&
              col("i0") >= b0._1 && col("i0") < b0._2 &&
              col("i1") >= b1._1 && col("i1") < b1._2)
+  }
+
+  /** Flow-controlled subset read: the client-side pattern the reference
+    * prescribes after CONTENT_TOO_LARGE ("use smaller subset",
+    * consts.py:19, httpx_client.py rate handling) — split a too-large
+    * bounds request into tile-aligned chunks and union the pruned scans.
+    * Each chunk is bounded work; the union is a no-shuffle concatenation.
+    * `maxCells` models the server's data-points limit.
+    */
+  def chunkedSliceRead(c: DataFrame, arrayId: String,
+                       b0: (Long, Long), b1: (Long, Long),
+                       maxCells: Long = Long.MaxValue): DataFrame = {
+    graft.Errors.requireBounds(b0, b1)
+    val span1 = b1._2 - b1._1
+    if ((b0._2 - b0._1) * span1 <= maxCells)
+      sliceRead(c, arrayId, b0, b1)
+    else {
+      val step = math.max(1L, maxCells / math.max(1L, span1))
+      val chunks = (b0._1 until b0._2 by step).map { lo =>
+        sliceRead(c, arrayId, (lo, math.min(lo + step, b0._2)), b1)
+      }
+      chunks.reduce(_ unionByName _)
+    }
+  }
 
   def a2SubsetRead(s: SparkSession, dir: String): DataFrame =
     sliceRead(cells(s, dir), "click", (5L, 15L), (2L, 10L))
@@ -257,7 +282,22 @@ object ArrayOps {
        |  CASE WHEN node <> target_node THEN 'exported' ELSE 'normal' END AS status
        |FROM placed ORDER BY vid, v0""".stripMargin
 
+  // --- a13_subset_chunked: flow-controlled read == direct read ------------
+  // maxCells=64 forces the 10x8 request into tile-sized chunks; the oracle
+  // is the *unchunked* slice — equivalence is the semantic contract.
+  def a13SubsetChunked(s: SparkSession, dir: String): DataFrame =
+    chunkedSliceRead(cells(s, dir), "view", (5L, 15L), (2L, 10L), maxCells = 64)
+      .select("array_id", "i0", "i1", "value")
+      .orderBy("i0", "i1")
+
+  val a13Sql: String =
+    s"""WITH $cellsSql
+       |SELECT array_id, i0, i1, value FROM cells
+       |WHERE array_id = 'view' AND i0 >= 5 AND i0 < 15 AND i1 >= 2 AND i1 < 10
+       |ORDER BY i0, i1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a13_subset_chunked" -> (a13SubsetChunked _),
     "a1_grid_build" -> (a1GridBuild _),
     "a2_subset_read" -> (a2SubsetRead _),
     "a3_subset_update" -> (a3SubsetUpdate _),
@@ -273,6 +313,7 @@ object ArrayOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "a13_subset_chunked" -> a13Sql,
     "a1_grid_build" -> a1Sql,
     "a2_subset_read" -> a2Sql,
     "a3_subset_update" -> a3Sql,

@@ -402,6 +402,52 @@ object Relational {
       |  COUNT(*) AS n_sessions_check
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- q17_json_props: semi-structured extraction from the props column ---
+  // get_json_object is codegen'd; at scale prefer from_json with an
+  // explicit schema once per pipeline — here the single-key extract shows
+  // the pushably-cheap path.
+  def q17JsonProps(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+           Det.dsum(col("value")).as("total_value"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("k_bucket")
+  }
+
+  val q17Sql: String =
+    s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
+       |  COUNT(*) AS n_events,
+       |  ${Det.sqlDsum("value")} AS total_value,
+       |  MIN(CAST(json_extract(props, '$$.k') AS BIGINT)) AS min_k,
+       |  MAX(CAST(json_extract(props, '$$.k') AS BIGINT)) AS max_k
+       |FROM events
+       |GROUP BY CAST(json_extract(props, '$$.k') AS BIGINT) % 10
+       |ORDER BY k_bucket""".stripMargin
+
+  // --- q18_part_supplier: snowflake over the remaining dims ---------------
+  def q18PartSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+    val sup = Tables.supplier(s, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .groupBy("p_brand", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+           Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy("p_brand", "s_name")
+  }
+
+  val q18Sql: String =
+    s"""SELECT p_brand, s_name, COUNT(*) AS n_items,
+       |  ${Det.sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE p_type = 'PROMO'
+       |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -420,6 +466,8 @@ object Relational {
     "q14_union_dedup" -> (q14UnionDedup _),
     "q15_skew_agg" -> (q15SkewAgg _),
     "q16_sessionize" -> (q16Sessionize _),
+    "q17_json_props" -> (q17JsonProps _),
+    "q18_part_supplier" -> (q18PartSupplier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -439,5 +487,7 @@ object Relational {
     "q14_union_dedup" -> q14Sql,
     "q15_skew_agg" -> q15Sql,
     "q16_sessionize" -> q16Sql,
+    "q17_json_props" -> q17Sql,
+    "q18_part_supplier" -> q18Sql,
   )
 }

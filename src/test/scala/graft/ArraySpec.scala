@@ -79,6 +79,19 @@ class ArraySpec extends SparkSpec {
     assert(out.filter(col("value") === -1.0).count() == 0)
   }
 
+  test("chunked slice read equals direct slice read; bad bounds raise typed errors") {
+    val c = ArrayModel.cells(spark, sf)
+    val direct = ArrayOps.sliceRead(c, "view", (5L, 15L), (2L, 10L))
+    val chunked = ArrayOps.chunkedSliceRead(c, "view", (5L, 15L), (2L, 10L), maxCells = 16)
+    assert(chunked.except(direct).count() == 0 && direct.except(chunked).count() == 0)
+    intercept[graft.GraftBoundsError] {
+      ArrayOps.sliceRead(c, "view", (15L, 5L), (2L, 10L))
+    }
+    intercept[graft.GraftBoundsError] {
+      ArrayOps.chunkedSliceRead(c, "view", (-1L, 5L), (2L, 10L))
+    }
+  }
+
   test("varray assemble round-trips global coords") {
     val df = ArrayOps.a10VarrayAssemble(spark, sf)
     assert(df.filter(col("g0") =!= col("v0") * ArrayModel.Tile0 + col("l0")).count() == 0)
