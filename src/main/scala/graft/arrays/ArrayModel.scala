@@ -34,6 +34,11 @@ object ArrayModel {
         pmod(col("user_id"), lit(Dim1Size)).cast("long").as("i1"))
       .agg(Det.dsum(col("value")).as("value"))
       .withColumn("coll", lit(Coll))
+      // dim indices are non-negative by contract (events before the grid
+      // epoch are out of the collection's domain); this also keeps Spark's
+      // truncating integer division aligned with the oracle's floor
+      // division in every tile computation downstream
+      .filter(col("i0") >= 0 && col("i1") >= 0)
       .select("coll", "array_id", "i0", "i1", "value")
 
   /** DuckDB CTE mirroring [[cells]]; prepend to every §2-A oracle. */
@@ -44,6 +49,7 @@ object ArrayModel {
        |    CAST(user_id % $Dim1Size AS BIGINT) AS i1,
        |    ${Det.sqlDsum("value")} AS value
        |  FROM events GROUP BY 1, 2, 3, 4
+       |  HAVING i0 >= 0 AND i1 >= 0
        |)""".stripMargin
 
   /** Catalog: one row per array — schema, shape, stats, custom attrs.

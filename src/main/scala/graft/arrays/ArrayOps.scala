@@ -42,7 +42,9 @@ object ArrayOps {
                        maxCells: Long = Long.MaxValue): DataFrame = {
     graft.Errors.requireBounds(b0, b1)
     val span1 = b1._2 - b1._1
-    if ((b0._2 - b0._1) * span1 <= maxCells)
+    // overflow-free "span0 * span1 <= maxCells" (the product of two valid
+    // bounds spans can exceed Long.MaxValue)
+    if (span1 == 0 || (b0._2 - b0._1) <= maxCells / span1)
       sliceRead(c, arrayId, b0, b1)
     else {
       val step = math.max(1L, maxCells / math.max(1L, span1))

@@ -26,8 +26,13 @@ final class HashRing(nodes: Seq[String], weights: Map[String, Int] = Map.empty) 
     (b(3 + off).toLong << 24) | (b(2 + off).toLong << 16) |
       (b(1 + off).toLong << 8) | b(off).toLong
 
-  /** Ring position of an arbitrary string key (hash_ring.py:135-143). */
-  def genKey(key: String): Long = hashVal(digest(key), 0)
+  /** Ring position of an arbitrary string key (hash_ring.py:135-143).
+    * Delegates to the executor-side kernel so driver lookup and the
+    * GenKey expression can never drift apart.
+    */
+  def genKey(key: String): Long =
+    graft.functions.GenKeyImpl.genKey(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key))
 
   /** (ringKey, node) pairs — the generated circle (hash_ring.py:26-48). */
   val ring: Seq[(Long, String)] = {

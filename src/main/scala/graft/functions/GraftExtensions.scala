@@ -20,14 +20,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    def unary(name: String)(args: Seq[Expression]): Expression = {
+      if (args.length != 1)
+        throw new IllegalArgumentException(
+          s"$name expects exactly 1 argument, got ${args.length}")
+      args.head
+    }
     e.injectFunction((
       new FunctionIdentifier("graft_gen_key"),
       new ExpressionInfo(classOf[GenKey].getName, "graft_gen_key"),
-      (args: Seq[Expression]) => GenKey(args.head)))
+      (args: Seq[Expression]) => GenKey(unary("graft_gen_key")(args))))
     e.injectFunction((
       new FunctionIdentifier("graft_ring_place"),
       new ExpressionInfo(classOf[RingLookup].getName, "graft_ring_place"),
       (args: Seq[Expression]) =>
-        RingLookup(args.head, new RingTable(HashRing.current))))
+        RingLookup(unary("graft_ring_place")(args), new RingTable(HashRing.current))))
   }
 }

@@ -230,9 +230,11 @@ object Relational {
       .select(col("user_id"), col("ts"),
               lit(null).cast("long").as("click_id"),
               col("event_id").as("purchase_id"))
-    // clicks sort before purchases at equal ts => strict "before" semantics
+    // purchases sort before clicks at equal ts, so an equal-ts click falls
+    // outside the purchase's frame => strict "click before purchase" (the
+    // oracle's c.ts < p.ts)
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("purchase_id").isNotNull.cast("int"))
+      .orderBy(col("ts"), col("click_id").isNotNull.cast("int"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))

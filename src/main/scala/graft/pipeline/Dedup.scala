@@ -91,7 +91,10 @@ object Dedup {
   }
 
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(s, dir).cache()
+    // no .cache(): the signature aggregation ends in an exchange that
+    // Spark's ReusedExchange dedupes across the three consumers, without
+    // pinning storage memory for the session lifetime
+    val sig = signatures(s, dir)
     val bands = sig
       .select(col("doc_id"), explode(array((0 until Bands).map(lit(_)): _*)).as("band"), col("sigs"))
       .withColumn("bkey", concat_ws(",",
@@ -170,7 +173,7 @@ object Dedup {
 
   // --- d4_ngram_jaccard: exact verify on shingle-sharing pairs ------------
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = shingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val l = sh.as("l"); val r = sh.as("r")
     val inter = l.join(r, col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))

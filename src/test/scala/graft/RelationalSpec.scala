@@ -42,7 +42,7 @@ class RelationalSpec extends SparkSpec {
     val joined = res
       .join(e.withColumnRenamed("ts", "p_ts"), res("purchase_id") === e("event_id")).drop("event_id")
       .join(e.withColumnRenamed("ts", "c_ts"), res("click_id") === e("event_id"))
-    assert(joined.filter(col("c_ts") > col("p_ts")).count() == 0)
+    assert(joined.filter(col("c_ts") >= col("p_ts")).count() == 0)
   }
 
   test("q15 salted agg equals plain agg") {
