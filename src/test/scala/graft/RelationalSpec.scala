@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
+  test("driver contract: entry() returns rows and every query has an oracle or rows-only note") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 46)
+  }
+
   test("every relational query runs non-empty at sf0.001") {
     Relational.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
