@@ -298,8 +298,41 @@ object ArrayOps {
        |WHERE array_id = 'view' AND i0 >= 5 AND i0 < 15 AND i1 >= 2 AND i1 < 10
        |ORDER BY i0, i1""".stripMargin
 
+  // --- a14_dense_read: dense subset read with fill value ------------------
+  // Deker's read_data returns a DENSE ndarray — absent cells surface as the
+  // fill value (base.py:265-270 reshapes the byte stream to the full slice
+  // shape). Sparse cells LEFT-joined onto the vgrid coordinate source
+  // (GridSource: one InputPartition per tile, bounds pushed down so
+  // non-intersecting tiles never launch tasks) + coalesce(fill).
+  def a14DenseRead(s: SparkSession, dir: String): DataFrame = {
+    val grid = s.read.format("graft.sources.GridSource")
+      .option("d0", 30).option("d1", Dim1Size)
+      .option("t0", Tile0).option("t1", Dim1Size)
+      .load()
+      .filter(col("i0") >= 5 && col("i0") < 15 && col("i1") >= 2 && col("i1") < 10)
+    val slice = sliceRead(cells(s, dir), "click", (5L, 15L), (2L, 10L))
+      .select("i0", "i1", "value")
+    grid.join(slice, Seq("i0", "i1"), "left")
+      .select(col("i0"), col("i1"), col("v0"), col("v1"),
+              coalesce(col("value"), lit(0.0)).as("value"))
+      .orderBy("i0", "i1")
+  }
+
+  val a14Sql: String =
+    s"""WITH $cellsSql,
+       |grid AS (
+       |  SELECT a.i0, b.i1, a.i0 // $Tile0 AS v0, b.i1 // $Dim1Size AS v1
+       |  FROM (SELECT unnest(range(5, 15)) AS i0) a
+       |  CROSS JOIN (SELECT unnest(range(2, 10)) AS i1) b)
+       |SELECT g.i0, g.i1, g.v0, g.v1, COALESCE(c.value, 0.0) AS value
+       |FROM grid g LEFT JOIN
+       |  (SELECT i0, i1, value FROM cells WHERE array_id = 'click') c
+       |  USING (i0, i1)
+       |ORDER BY g.i0, g.i1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
+    "a14_dense_read" -> (a14DenseRead _),
     "a1_grid_build" -> (a1GridBuild _),
     "a2_subset_read" -> (a2SubsetRead _),
     "a3_subset_update" -> (a3SubsetUpdate _),
@@ -316,6 +349,7 @@ object ArrayOps {
 
   val oracles: Map[String, String] = Map(
     "a13_subset_chunked" -> a13Sql,
+    "a14_dense_read" -> a14Sql,
     "a1_grid_build" -> a1Sql,
     "a2_subset_read" -> a2Sql,
     "a3_subset_update" -> a3Sql,

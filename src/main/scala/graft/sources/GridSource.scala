@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2: a dense 2-D coordinate grid tiled on a vgrid — the
+  * reference's VArray layout (varray_adapter.py, `v_position`) as a
+  * first-class Spark source.
+  *
+  * Each vgrid tile is one `InputPartition`, so Deker's unit of physical
+  * placement maps 1:1 onto Spark's unit of parallelism, and bounds filters
+  * on the dim-index columns are pushed down (`SupportsPushDownFilters`) to
+  * *prune whole tiles before any task launches* — the plan-time analogue
+  * of the server only contacting nodes that own requested tiles. Rows are
+  * generated, not stored: a dense `read_data` subset is this source
+  * LEFT-joined with the sparse cell table (ArrayOps.a14DenseRead).
+  *
+  * Options: d0, d1 (grid extents), t0, t1 (tile extents).
+  * Schema: (i0, i1, v0, v1) — global coords + owning tile coords.
+  */
+class GridSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GridSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    def opt(k: String, d: Long): Long =
+      Option(properties.get(k)).map(_.toLong).getOrElse(d)
+    new GridTable(opt("d0", 32), opt("d1", 16), opt("t0", 10), opt("t1", 16))
+  }
+}
+
+object GridSource {
+  val schema: StructType = StructType(Seq(
+    StructField("i0", LongType, nullable = false),
+    StructField("i1", LongType, nullable = false),
+    StructField("v0", LongType, nullable = false),
+    StructField("v1", LongType, nullable = false)))
+}
+
+final class GridTable(d0: Long, d1: Long, t0: Long, t1: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"grid(${d0}x$d1, tile ${t0}x$t1)"
+  override def schema(): StructType = GridSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GridScanBuilder(d0, d1, t0, t1)
+}
+
+/** Accepts i0/i1 range filters; everything else stays with Spark. */
+final class GridScanBuilder(d0: Long, d1: Long, t0: Long, t1: Long)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  // bounds as [lo, hi) per dim, tightened by every accepted filter
+  private var lo0 = 0L; private var hi0 = d0
+  private var lo1 = 0L; private var hi1 = d1
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("i0" | "i1", _: Long) => true
+      case GreaterThan("i0" | "i1", _: Long) => true
+      case LessThan("i0" | "i1", _: Long) => true
+      case LessThanOrEqual("i0" | "i1", _: Long) => true
+      case EqualTo("i0" | "i1", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThanOrEqual("i0", v: Long) => lo0 = math.max(lo0, v)
+      case GreaterThan("i0", v: Long)        => lo0 = math.max(lo0, v + 1)
+      case LessThan("i0", v: Long)           => hi0 = math.min(hi0, v)
+      case LessThanOrEqual("i0", v: Long)    => hi0 = math.min(hi0, v + 1)
+      case EqualTo("i0", v: Long)            => lo0 = math.max(lo0, v); hi0 = math.min(hi0, v + 1)
+      case GreaterThanOrEqual("i1", v: Long) => lo1 = math.max(lo1, v)
+      case GreaterThan("i1", v: Long)        => lo1 = math.max(lo1, v + 1)
+      case LessThan("i1", v: Long)           => hi1 = math.min(hi1, v)
+      case LessThanOrEqual("i1", v: Long)    => hi1 = math.min(hi1, v + 1)
+      case EqualTo("i1", v: Long)            => lo1 = math.max(lo1, v); hi1 = math.min(hi1, v + 1)
+      case _ => ()
+    }
+    pushed = accepted
+    // the source applies range filters exactly; nothing residual from them
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GridScan(lo0, hi0, lo1, hi1, t0, t1)
+}
+
+final class GridScan(lo0: Long, hi0: Long, lo1: Long, hi1: Long,
+                     t0: Long, t1: Long) extends Scan with Batch {
+  override def readSchema(): StructType = GridSource.schema
+  override def toBatch: Batch = this
+
+  /** One InputPartition per vgrid tile intersecting the bounds —
+    * tile-level pruning happens here, at plan time.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (lo0 >= hi0 || lo1 >= hi1) return Array.empty
+    val tiles = for {
+      tv0 <- (lo0 / t0) to ((hi0 - 1) / t0)
+      tv1 <- (lo1 / t1) to ((hi1 - 1) / t1)
+    } yield GridTilePartition(tv0, tv1,
+      math.max(lo0, tv0 * t0), math.min(hi0, (tv0 + 1) * t0),
+      math.max(lo1, tv1 * t1), math.min(hi1, (tv1 + 1) * t1))
+    tiles.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GridReaderFactory
+}
+
+case class GridTilePartition(v0: Long, v1: Long,
+                             lo0: Long, hi0: Long,
+                             lo1: Long, hi1: Long) extends InputPartition
+
+final class GridReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val t = p.asInstanceOf[GridTilePartition]
+    new PartitionReader[InternalRow] {
+      private var i0 = t.lo0
+      private var i1 = t.lo1 - 1
+      override def next(): Boolean = {
+        i1 += 1
+        if (i1 >= t.hi1) { i1 = t.lo1; i0 += 1 }
+        i0 < t.hi0
+      }
+      override def get(): InternalRow =
+        InternalRow(i0, i1, t.v0, t.v1)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -47,6 +47,34 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("h") == HashRing.current.genKey("click/0-0"))
   }
 
+  test("GridSource V2: bounds push down and prune whole tiles at plan time") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val grid = spark.read.format("graft.sources.GridSource")
+      .option("d0", 30).option("d1", 16).option("t0", 10).option("t1", 16)
+      .load()
+    // unfiltered: 3 tiles along i0 x 1 along i1
+    val fullScan = grid.queryExecution.executedPlan
+      .collectLeaves().collectFirst { case b: BatchScanExec => b }.get
+    assert(fullScan.inputPartitions.size == 3)
+    // bounds [5,15) touch tiles 0 and 1 only; tile 2 is pruned pre-launch
+    val sliced = grid.filter(col("i0") >= 5 && col("i0") < 15 && col("i1") >= 2 && col("i1") < 10)
+    val slicedScan = sliced.queryExecution.executedPlan
+      .collectLeaves().collectFirst { case b: BatchScanExec => b }.get
+    assert(slicedScan.inputPartitions.size == 2,
+      s"expected tile pruning to 2 partitions, got ${slicedScan.inputPartitions}")
+    // and the rows are exactly the dense bounds
+    assert(sliced.count() == 10 * 8)
+    assert(sliced.agg(min("i0"), max("i0"), min("i1"), max("i1")).head.toSeq == Seq(5L, 14L, 2L, 9L))
+  }
+
+  test("a14 dense read: dense shape with fill, sparse cells where populated") {
+    val dense = graft.arrays.ArrayOps.a14DenseRead(spark, sf)
+    assert(dense.count() == 10 * 8) // always the full slice shape
+    val sparse = graft.arrays.ArrayOps.sliceRead(
+      ArrayModel.cells(spark, sf), "click", (5L, 15L), (2L, 10L))
+    assert(dense.filter(col("value") =!= 0.0).count() == sparse.filter(col("value") =!= 0.0).count())
+  }
+
   test("native GenKey equals the composed md5/conv form") {
     val df = spark.range(500)
       .withColumn("k", concat(lit("key-"), col("id")))
