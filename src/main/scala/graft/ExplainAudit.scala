@@ -8,7 +8,7 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q1_agg", "q5_multijoin", "q6_filter_agg", "a2_subset_read", "d2_minhash_lsh", "q10_asof_join")) {
+    for (name <- (if (args.nonEmpty) args.toSeq else Seq("q1_agg", "q5_multijoin", "q6_filter_agg", "a2_subset_read", "d2_minhash_lsh", "q10_asof_join"))) {
       println(s"===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).linesIterator.take(40).mkString("\n"))
