@@ -147,15 +147,57 @@ object Streams {
        |FROM sess GROUP BY user_id, sess_idx
        |ORDER BY user_id, sess_idx""".stripMargin
 
+  // --- st4_stream_join: stream-stream interval join -----------------------
+  /** Clicks joined to purchases of the same user within the preceding
+    * hour. The time-interval condition is what makes this streamable:
+    * watermarks bound both sides' state retention. The same join runs in
+    * batch for the oracle (`streamStreamJoinTransform` applied to two
+    * batch DataFrames) and in the streaming spec against two file-stream
+    * sources.
+    */
+  def streamStreamJoinTransform(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    clicks.alias("c").join(purchases.alias("p"), expr(
+      """c.user_id = p.user_id
+        |AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |AND c.ts < p.ts""".stripMargin))
+  }
+
+  def st4StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    streamStreamJoinTransform(clicks, purchases)
+      .groupBy(col("p.user_id").as("user_id"), col("purchase_id"))
+      .agg(count(lit(1)).as("n_recent_clicks"),
+           max(col("click_id")).as("max_click_id"))
+      .orderBy("purchase_id")
+  }
+
+  val st4Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  COUNT(*) AS n_recent_clicks, MAX(c.event_id) AS max_click_id
+      |FROM events p
+      |JOIN events c ON c.user_id = p.user_id
+      |  AND c.event_type = 'click'
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.user_id, p.event_id
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> (st1StreamWindow _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stream_session" -> (st3StreamSession _),
+    "st4_stream_join" -> (st4StreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "st1_stream_window" -> st1Sql,
     "st2_stream_dedup" -> st2Sql,
     "st3_stream_session" -> st3Sql,
+    "st4_stream_join" -> st4Sql,
   )
 }

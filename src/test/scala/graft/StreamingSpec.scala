@@ -58,6 +58,33 @@ class StreamingSpec extends SparkSpec {
       "streaming sessionization != batch sessionization")
   }
 
+  test("st4: stream-stream interval join matches the batch join pair count") {
+    val mkStream = () => Streams.readEventsStream(spark, eventsDir)
+    val clicks = mkStream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .withWatermark("ts", "2 hours")
+    val purchases = mkStream().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      .withWatermark("ts", "2 hours")
+    val q = Streams.streamStreamJoinTransform(clicks, purchases)
+      .select("click_id", "purchase_id")
+      .writeStream.format("memory").queryName("st4_mem")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st4_mem")
+    val e = Tables.events(spark, sf)
+    val batch = Streams.streamStreamJoinTransform(
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")))
+      .select("click_id", "purchase_id")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "stream-stream join pairs != batch join pairs")
+  }
+
   test("st2: streaming dropDuplicates keeps one row per key") {
     val stream = Streams.readEventsStream(spark, eventsDir)
     val q = Streams.streamingDedupTransform(stream)
