@@ -73,17 +73,21 @@ final class GridScanBuilder(d0: Long, d1: Long, t0: Long, t1: Long)
       case EqualTo("i0" | "i1", _: Long) => true
       case _ => false
     }
+    // saturating +1s: v = Long.MaxValue must not wrap (an accepted filter
+    // is applied exactly — a wrap would return wrong rows, not just lose
+    // an optimization)
+    def incl(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     accepted.foreach {
       case GreaterThanOrEqual("i0", v: Long) => lo0 = math.max(lo0, v)
-      case GreaterThan("i0", v: Long)        => lo0 = math.max(lo0, v + 1)
+      case GreaterThan("i0", v: Long)        => if (v == Long.MaxValue) hi0 = lo0 else lo0 = math.max(lo0, v + 1)
       case LessThan("i0", v: Long)           => hi0 = math.min(hi0, v)
-      case LessThanOrEqual("i0", v: Long)    => hi0 = math.min(hi0, v + 1)
-      case EqualTo("i0", v: Long)            => lo0 = math.max(lo0, v); hi0 = math.min(hi0, v + 1)
+      case LessThanOrEqual("i0", v: Long)    => hi0 = math.min(hi0, incl(v))
+      case EqualTo("i0", v: Long)            => lo0 = math.max(lo0, v); hi0 = math.min(hi0, incl(v))
       case GreaterThanOrEqual("i1", v: Long) => lo1 = math.max(lo1, v)
-      case GreaterThan("i1", v: Long)        => lo1 = math.max(lo1, v + 1)
+      case GreaterThan("i1", v: Long)        => if (v == Long.MaxValue) hi1 = lo1 else lo1 = math.max(lo1, v + 1)
       case LessThan("i1", v: Long)           => hi1 = math.min(hi1, v)
-      case LessThanOrEqual("i1", v: Long)    => hi1 = math.min(hi1, v + 1)
-      case EqualTo("i1", v: Long)            => lo1 = math.max(lo1, v); hi1 = math.min(hi1, v + 1)
+      case LessThanOrEqual("i1", v: Long)    => hi1 = math.min(hi1, incl(v))
+      case EqualTo("i1", v: Long)            => lo1 = math.max(lo1, v); hi1 = math.min(hi1, incl(v))
       case _ => ()
     }
     pushed = accepted

@@ -182,7 +182,8 @@ object Streams {
       |FROM events p
       |JOIN events c ON c.user_id = p.user_id
       |  AND c.event_type = 'click'
-      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      |  AND epoch_us(c.ts) < epoch_us(p.ts)
       |WHERE p.event_type = 'purchase'
       |GROUP BY p.user_id, p.event_id
       |ORDER BY purchase_id""".stripMargin
