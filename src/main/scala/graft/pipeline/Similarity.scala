@@ -157,13 +157,85 @@ object Similarity {
        |SELECT q_id, bucket, rnk, neighbor_id, cosine FROM ranked
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --- s3_ivf_ann: coarse-quantizer (IVF-style) ANN -----------------------
+  // The inverted-file skeleton: vectors are assigned to their nearest
+  // coarse centroid once (a write-time partitioning at scale — cluster id
+  // becomes the partition key), queries probe only the nProbe nearest
+  // centroids and re-rank exactly inside them. Deterministic "training":
+  // the first NumCentroids vectors serve as centroids, so the oracle can
+  // replay the exact pipeline. Complements s2's LSH as the second
+  // sub-linear candidate-generation path.
+  val NumCentroids = 8
+  val NProbe = 2
+
+  def s3IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("norm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("emb"), col("ce"), col("norm"), col("cn")))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("emb"), col("norm"), col("c_id").as("cluster"))
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("p_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("p_cos", cosine(col("qe"), col("ce"), col("qn"), col("cn")))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= NProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("cluster"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    probes.join(assigned, "cluster")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+              col("cluster"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val s3Sql: String =
+    s"""WITH $normedSql,
+       |cents AS (
+       |  SELECT vec_id AS c_id, emb AS ce, norm AS cn FROM normed
+       |  WHERE vec_id < $NumCentroids),
+       |assigned AS (
+       |  SELECT vec_id, emb, norm, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.emb, e.norm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosineSql("e.emb", "c.ce", "e.norm", "c.cn")} DESC, c.c_id) AS arnk
+       |    FROM normed e CROSS JOIN cents c) WHERE arnk = 1),
+       |probes AS (
+       |  SELECT q_id, qe, qn, cluster FROM (
+       |    SELECT q.vec_id AS q_id, q.emb AS qe, q.norm AS qn, c.c_id AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosineSql("q.emb", "c.ce", "q.norm", "c.cn")} DESC, c.c_id) AS prnk
+       |    FROM normed q CROSS JOIN cents c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 105) WHERE prnk <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_id, a.cluster, a.vec_id AS neighbor_id,
+       |    ${cosineSql("p.qe", "a.emb", "p.qn", "a.norm")} AS cosine
+       |  FROM probes p JOIN assigned a
+       |    ON p.cluster = a.cluster AND a.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM cand)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cluster, cosine
+       |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_lsh_ann" -> (s2LshAnn _),
+    "s3_ivf_ann" -> (s3IvfAnn _),
   )
 
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_lsh_ann" -> s2Sql,
+    "s3_ivf_ann" -> s3Sql,
   )
 }

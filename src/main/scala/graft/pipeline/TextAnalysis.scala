@@ -145,7 +145,48 @@ object TextAnalysis {
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- t5_top_terms: TF-IDF-style salient terms, exact arithmetic ---------
+  // Classic tf-idf needs log(N/df) — but log() is libm-dependent and a
+  // last-ulp divergence between engines would break the bit-exact gate, so
+  // the score is the order-equivalent (for a fixed corpus) rational
+  // tf/df, computed in exact integer arithmetic: score = tf·1e9 // df.
+  // One shuffle for tf, one broadcast-joined df table, one window.
+  def t5TopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("score", expr("tf * 1000000000L div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "tok", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val t5Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    tf.tf * 1000000000 // df.df AS score
+      |  FROM tf JOIN df USING (tok)),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, tok) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t5_top_terms" -> (t5TopTerms _),
     "t1_langid" -> (t1Langid _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_count" -> (t3TokenCount _),
@@ -153,6 +194,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t5_top_terms" -> t5Sql,
     "t1_langid" -> t1Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,

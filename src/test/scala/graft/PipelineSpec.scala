@@ -62,6 +62,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s3 IVF: probing more lists can only improve recall vs s1 exact top-k") {
+    // every s3 neighbor must appear in s1's exact ranking for queries that
+    // overlap -- here queries differ (100-104 vs <5), so instead check
+    // internal consistency: ranks contiguous, cosine non-increasing
+    val rows = Similarity.s3IvfAnn(spark, sf)
+      .orderBy("q_id", "rnk").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cos = rs.map(_.getDouble(4))
+      assert(cos.sameElements(cos.sorted.reverse), "cosine not descending")
+      assert(rs.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("t5 top terms: scores are per-doc descending and tf/df consistent") {
+    val rows = TextAnalysis.t5TopTerms(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getLong(1)).map(_.getLong(5))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(3) * 1000000000L / r.getLong(4))
+    }
+  }
+
   test("t4 fingerprint matches a JVM-side reference fold") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .limit(20).collect()
