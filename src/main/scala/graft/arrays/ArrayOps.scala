@@ -330,9 +330,71 @@ object ArrayOps {
        |  USING (i0, i1)
        |ORDER BY g.i0, g.i1""".stripMargin
 
+  // --- a15_subset_stats: reductions over a slice --------------------------
+  // Array math after read_data is the consumer's first move; at scale it
+  // should happen in-engine, on the pruned slice, not on a driver ndarray.
+  // Variance from exact decimal Σx / Σx² (order-free), then IEEE-exact
+  // sqrt — deterministic on both engines.
+  def a15SubsetStats(s: SparkSession, dir: String): DataFrame = {
+    val slice = sliceRead(cells(s, dir), "purchase", (0L, 20L), (0L, 16L))
+    slice.groupBy("array_id")
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+           Det.davg(col("value")).as("mean_v"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+             .cast("double").as("sum_v"),
+           sum((col("value") * col("value"))
+             .cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+             .cast("double").as("sum_sq"))
+      .withColumn("stddev_v",
+        sqrt(col("sum_sq") / col("n") - (col("sum_v") / col("n")) * (col("sum_v") / col("n"))))
+      .select("array_id", "n", "min_v", "max_v", "mean_v", "stddev_v")
+  }
+
+  val a15Sql: String =
+    s"""WITH $cellsSql,
+       |slice AS (
+       |  SELECT array_id, value FROM cells
+       |  WHERE array_id = 'purchase' AND i0 >= 0 AND i0 < 20
+       |    AND i1 >= 0 AND i1 < 16),
+       |agg AS (
+       |  SELECT array_id, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
+       |    ${Det.sqlDavg("value")} AS mean_v,
+       |    CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_v,
+       |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sum_sq
+       |  FROM slice GROUP BY array_id)
+       |SELECT array_id, n, min_v, max_v, mean_v,
+       |  sqrt(sum_sq / n - (sum_v / n) * (sum_v / n)) AS stddev_v
+       |FROM agg""".stripMargin
+
+  // --- a16_label_read: label-indexed subset (Deker datetime scales) -------
+  // Deker dimensions carry labels/scales (datetimes here); users slice by
+  // label and the engine converts to index bounds. Same pruned scan as a2
+  // once the conversion (label - origin) / step is applied.
+  def a16LabelRead(s: SparkSession, dir: String): DataFrame = {
+    val origin = java.time.LocalDate.parse("2024-01-01")
+    def toIdx(label: String): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(origin, java.time.LocalDate.parse(label))
+    sliceRead(cells(s, dir), "signup",
+        (toIdx("2024-01-06"), toIdx("2024-01-16")), (0L, 16L))
+      .select("array_id", "i0", "i1", "value")
+      .orderBy("i0", "i1")
+  }
+
+  val a16Sql: String =
+    s"""WITH $cellsSql
+       |SELECT array_id, i0, i1, value FROM cells
+       |WHERE array_id = 'signup'
+       |  AND i0 >= date_diff('day', DATE '2024-01-01', DATE '2024-01-06')
+       |  AND i0 <  date_diff('day', DATE '2024-01-01', DATE '2024-01-16')
+       |  AND i1 >= 0 AND i1 < 16
+       |ORDER BY i0, i1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
+    "a15_subset_stats" -> (a15SubsetStats _),
+    "a16_label_read" -> (a16LabelRead _),
     "a1_grid_build" -> (a1GridBuild _),
     "a2_subset_read" -> (a2SubsetRead _),
     "a3_subset_update" -> (a3SubsetUpdate _),
@@ -350,6 +412,8 @@ object ArrayOps {
   val oracles: Map[String, String] = Map(
     "a13_subset_chunked" -> a13Sql,
     "a14_dense_read" -> a14Sql,
+    "a15_subset_stats" -> a15Sql,
+    "a16_label_read" -> a16Sql,
     "a1_grid_build" -> a1Sql,
     "a2_subset_read" -> a2Sql,
     "a3_subset_update" -> a3Sql,
