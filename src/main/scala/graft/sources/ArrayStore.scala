@@ -39,4 +39,30 @@ object ArrayStore {
     store.filter(col("coll") === coll && col("array_id") === arrayId &&
       col("i0") >= b0._1 && col("i0") < b0._2 &&
       col("i1") >= b1._1 && col("i1") < b1._2)
+
+  /** The write path of `update(array, bounds, data)` (base.py:272-303) at
+    * scale: copy-on-write of ONLY the affected array's partition via
+    * dynamic partition overwrite — every other array's files are untouched
+    * (no full-table rewrite, no read-modify-write of unrelated data).
+    */
+  def patchPartition(s: SparkSession, path: String, coll: String,
+                     arrayId: String, b0: (Long, Long), b1: (Long, Long),
+                     data: org.apache.spark.sql.Column): Unit = {
+    graft.Errors.requireBounds(b0, b1)
+    val one = open(s, path)
+      .filter(col("coll") === coll && col("array_id") === arrayId)
+    val inBounds = col("i0") >= b0._1 && col("i0") < b0._2 &&
+      col("i1") >= b1._1 && col("i1") < b1._2
+    val patched = one.withColumn("value", when(inBounds, data).otherwise(col("value")))
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try patched
+      .repartition(col("coll"), col("array_id"))
+      .sortWithinPartitions("i0", "i1")
+      .write.mode("overwrite").partitionBy("coll", "array_id").parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

@@ -47,6 +47,29 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("h") == HashRing.current.genKey("click/0-0"))
   }
 
+  test("patchPartition rewrites only the target array's partition") {
+    import org.apache.spark.sql.functions.lit
+    val path = java.nio.file.Files.createTempDirectory("graft-patch").toString
+    ArrayStore.materialize(ArrayModel.cells(spark, sf), path)
+    def files(arrayId: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$path/coll=weather/array_id=$arrayId")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val errorFilesBefore = files("error")
+    val clickBefore = ArrayStore.sliceRead(ArrayStore.open(spark, path),
+      "weather", "click", (0L, 5L), (0L, 4L)).count()
+    ArrayStore.patchPartition(spark, path, "weather", "click",
+      (0L, 5L), (0L, 4L), lit(-7.5))
+    // untouched sibling partition: identical files, identical mtimes
+    assert(files("error") == errorFilesBefore)
+    // patched values visible, cell count preserved
+    val after = ArrayStore.sliceRead(ArrayStore.open(spark, path),
+      "weather", "click", (0L, 5L), (0L, 4L))
+    assert(after.count() == clickBefore)
+    assert(after.filter(col("value") =!= -7.5).count() == 0)
+  }
+
   test("GridSource V2: bounds push down and prune whole tiles at plan time") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val grid = spark.read.format("graft.sources.GridSource")
