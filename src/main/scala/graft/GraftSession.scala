@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session entry point: the configuration graft expects on a
+  * real cluster, with the 100 TB rationale for each knob. Local runs
+  * (Verify/Bench/tests) override master and shuffle partitions.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 0): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(master)
+      // UTC everywhere: every timestamp literal/grouping in the engine and
+      // its oracles assumes it; a TZ-floating session silently changes
+      // which rows a date filter selects.
+      .config("spark.sql.session.timeZone", "UTC")
+      // AQE re-plans with real sizes: coalesces the small shuffles our
+      // catalog/meta ops produce and converts to broadcast when a filtered
+      // fact side collapses below the threshold.
+      .config("spark.sql.adaptive.enabled", "true")
+      // Hot array_ids / hot LSH buckets are expected in real corpora; AQE
+      // skew split complements the explicit salting pattern (q15).
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 128 MiB scan splits: big enough to amortize parquet footers &
+      // codec startup, small enough that a single slice-read task fits
+      // comfortably in executor memory with room for the patch CASE-WHEN.
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // Dynamic partition overwrite: ArrayStore.patchPartition must only
+      // replace the partitions it writes, never truncate the table.
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // graft_gen_key / graft_ring_place available to pure-SQL users.
+      .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
+    if (shufflePartitions > 0)
+      b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    else b
+  }
+}

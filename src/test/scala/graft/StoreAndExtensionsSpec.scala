@@ -98,6 +98,27 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assert(dense.filter(col("value") =!= 0.0).count() == sparse.filter(col("value") =!= 0.0).count())
   }
 
+  test("GraftSession: cluster config set is wired (extensions, overwrite mode)") {
+    // spark.sql.extensions is a STATIC conf: it only takes effect on a
+    // fresh SparkContext (as on a real cluster); on the shared test
+    // context the functional path is covered by the withExtensions test
+    // above. Here we assert the wiring and that the session is usable.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val sess = GraftSession.builder("local[2]", shufflePartitions = 2).getOrCreate()
+    try {
+      assert(sess.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic")
+      assert(sess.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      val h = sess.range(1)
+        .select(graft.functions.GenKey(concat(lit("probe"), lit(""))).as("h"))
+        .head.getLong(0)
+      assert(h == HashRing.current.genKey("probe"))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("native GenKey equals the composed md5/conv form") {
     val df = spark.range(500)
       .withColumn("k", concat(lit("key-"), col("id")))
