@@ -41,6 +41,35 @@ object ArrayModel {
       .filter(col("i0") >= 0 && col("i1") >= 0)
       .select("coll", "array_id", "i0", "i1", "value")
 
+  /** cells through the materialized pruned layout (sources/ArrayStore):
+    * derived once per (run, sf-dir), then every array op reads the stored
+    * partitioned+sorted table — array_id filters become directory prunes,
+    * dim filters row-group skips. This is the at-scale read path; `cells`
+    * itself remains the derivation (exercised directly by a1).
+    */
+  def cellsStored(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val path = ArrayModel.storedPaths.getOrElseUpdate(dir, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-cells-" +
+        s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"
+      graft.sources.ArrayStore.materialize(cells(s, dir), p)
+      p
+    })
+    // explicit schema: an all-empty source writes no partition directories,
+    // and schema inference on an empty store would fail
+    s.read.schema(storedSchema).parquet(path)
+      .select("coll", "array_id", "i0", "i1", "value")
+  }
+
+  private val storedPaths = scala.collection.concurrent.TrieMap[String, String]()
+
+  private val storedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("i0", LongType), StructField("i1", LongType),
+      StructField("value", DoubleType),
+      StructField("coll", StringType), StructField("array_id", StringType)))
+  }
+
   /** DuckDB CTE mirroring [[cells]]; prepend to every §2-A oracle. */
   val cellsSql: String =
     s"""cells AS (
@@ -57,7 +86,7 @@ object ArrayModel {
     * (broadcastable) table derived from, or stored beside, the cells.
     */
   def catalog(s: SparkSession, dir: String): DataFrame =
-    cells(s, dir)
+    cellsStored(s, dir)
       .groupBy("coll", "array_id")
       .agg(
         (max(col("i0")) + 1).as("dim0_size"),
@@ -83,7 +112,7 @@ object ArrayModel {
     * primary-attribute hash key "vid/v0-v1" (utils/hashing.py:8-21).
     */
   def tiles(s: SparkSession, dir: String): DataFrame =
-    cells(s, dir)
+    cellsStored(s, dir)
       .select(col("array_id").as("vid"),
               (col("i0") / Tile0).cast("long").as("v0"),
               lit(0L).as("v1"))

@@ -56,7 +56,7 @@ object ArrayOps {
   }
 
   def a2SubsetRead(s: SparkSession, dir: String): DataFrame =
-    sliceRead(cells(s, dir), "click", (5L, 15L), (2L, 10L))
+    sliceRead(cellsStored(s, dir), "click", (5L, 15L), (2L, 10L))
       .select("array_id", "i0", "i1", "value")
       .orderBy("i0", "i1")
 
@@ -79,7 +79,7 @@ object ArrayOps {
   }
 
   def a3SubsetUpdate(s: SparkSession, dir: String): DataFrame =
-    patch(cells(s, dir), "click", (10L, 20L), (4L, 12L),
+    patch(cellsStored(s, dir), "click", (10L, 20L), (4L, 12L),
           (col("i0") * 16 + col("i1")).cast("double"))
       .filter(col("array_id") === "click")
       .select("i0", "i1", "value")
@@ -94,7 +94,7 @@ object ArrayOps {
 
   // --- a4_subset_clear: clear(array, bounds) (base.py:305-311) ------------
   def a4SubsetClear(s: SparkSession, dir: String): DataFrame =
-    patch(cells(s, dir), "error", (0L, 10L), (0L, 8L), lit(0.0))
+    patch(cellsStored(s, dir), "error", (0L, 10L), (0L, 8L), lit(0.0))
       .filter(col("array_id") === "error")
       .groupBy("array_id")
       .agg(count(lit(1)).as("n_cells"),
@@ -153,7 +153,7 @@ object ArrayOps {
   // Lookup key "vid/v0-v1" built exactly like utils/hashing.py:8-21.
   def a7GetByPrimary(s: SparkSession, dir: String): DataFrame = {
     val t = tiles(s, dir).filter(col("hash_key") === "view/1-0")
-    val c = cells(s, dir)
+    val c = cellsStored(s, dir)
     c.join(broadcast(t),
            c("array_id") === t("vid") &&
            (c("i0") / Tile0).cast("long") === t("v0"))
@@ -187,7 +187,7 @@ object ArrayOps {
   // reference loops a threadpool of per-array HTTP deletes; here one
   // narrow join does all of them.
   def a9DeleteByVid(s: SparkSession, dir: String): DataFrame = {
-    val c = cells(s, dir)
+    val c = cellsStored(s, dir)
     val doomed = tiles(s, dir).filter(col("vid") === "error")
     c.join(broadcast(doomed),
            c("array_id") === doomed("vid") &&
@@ -213,7 +213,7 @@ object ArrayOps {
   // Pure arithmetic projection (no shuffle): local = (i0 % T, i1),
   // tile = i0 / T, global = tile·T + local. Round-trips exactly.
   def a10VarrayAssemble(s: SparkSession, dir: String): DataFrame =
-    cells(s, dir).filter(col("array_id") === "signup")
+    cellsStored(s, dir).filter(col("array_id") === "signup")
       .select(
         (col("i0") / Tile0).cast("long").as("v0"),
         pmod(col("i0"), lit(Tile0)).cast("long").as("l0"),
@@ -288,7 +288,7 @@ object ArrayOps {
   // maxCells=64 forces the 10x8 request into tile-sized chunks; the oracle
   // is the *unchunked* slice — equivalence is the semantic contract.
   def a13SubsetChunked(s: SparkSession, dir: String): DataFrame =
-    chunkedSliceRead(cells(s, dir), "view", (5L, 15L), (2L, 10L), maxCells = 64)
+    chunkedSliceRead(cellsStored(s, dir), "view", (5L, 15L), (2L, 10L), maxCells = 64)
       .select("array_id", "i0", "i1", "value")
       .orderBy("i0", "i1")
 
@@ -310,7 +310,7 @@ object ArrayOps {
       .option("t0", Tile0).option("t1", Dim1Size)
       .load()
       .filter(col("i0") >= 5 && col("i0") < 15 && col("i1") >= 2 && col("i1") < 10)
-    val slice = sliceRead(cells(s, dir), "click", (5L, 15L), (2L, 10L))
+    val slice = sliceRead(cellsStored(s, dir), "click", (5L, 15L), (2L, 10L))
       .select("i0", "i1", "value")
     grid.join(slice, Seq("i0", "i1"), "left")
       .select(col("i0"), col("i1"), col("v0"), col("v1"),
@@ -336,7 +336,7 @@ object ArrayOps {
   // Variance from exact decimal Σx / Σx² (order-free), then IEEE-exact
   // sqrt — deterministic on both engines.
   def a15SubsetStats(s: SparkSession, dir: String): DataFrame = {
-    val slice = sliceRead(cells(s, dir), "purchase", (0L, 20L), (0L, 16L))
+    val slice = sliceRead(cellsStored(s, dir), "purchase", (0L, 20L), (0L, 16L))
     slice.groupBy("array_id")
       .agg(count(lit(1)).as("n"),
            min(col("value")).as("min_v"), max(col("value")).as("max_v"),
@@ -375,7 +375,7 @@ object ArrayOps {
     val origin = java.time.LocalDate.parse("2024-01-01")
     def toIdx(label: String): Long =
       java.time.temporal.ChronoUnit.DAYS.between(origin, java.time.LocalDate.parse(label))
-    sliceRead(cells(s, dir), "signup",
+    sliceRead(cellsStored(s, dir), "signup",
         (toIdx("2024-01-06"), toIdx("2024-01-16")), (0L, 16L))
       .select("array_id", "i0", "i1", "value")
       .orderBy("i0", "i1")

@@ -101,11 +101,13 @@ class ArraySpec extends SparkSpec {
     assert(df.select("g0", "g1", "value").except(orig).count() == 0)
   }
 
-  test("slice read filter is pushed down to the parquet scan") {
-    // the i-index filters derive from event columns; the events scan must
-    // carry pushed filters (event_type at minimum after Catalyst rewrites)
+  test("slice read prunes partitions and pushes dim filters at the scan") {
+    // a2 reads the materialized store: array_id is a directory-level
+    // PartitionFilter, the dim bounds are row-group PushedFilters
     val plan = ArrayOps.a2SubsetRead(spark, sf).queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [") && plan.contains("event_type"),
-      s"expected pushdown into scan:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("array_id"),
+      s"expected partition pruning on array_id:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(i0,5)"),
+      s"expected dim-bound pushdown into scan:\n$plan")
   }
 }
