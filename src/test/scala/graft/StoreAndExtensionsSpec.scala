@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
 
 class StoreAndExtensionsSpec extends SparkSpec {
 
+  test("stored cells round-trip the derivation exactly (no loss through the layout)") {
+    val derived = ArrayModel.cells(spark, sf)
+    val stored = ArrayModel.cellsStored(spark, sf)
+    assert(stored.count() == derived.count())
+    assert(stored.except(derived).count() == 0 && derived.except(stored).count() == 0)
+  }
+
   test("ArrayStore: pruned layout slice read equals model slice read") {
     val path = java.nio.file.Files.createTempDirectory("graft-store").toString
     ArrayStore.materialize(ArrayModel.cells(spark, sf), path)
