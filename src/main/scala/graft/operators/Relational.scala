@@ -450,6 +450,56 @@ object Relational {
        |WHERE p_type = 'PROMO'
        |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin
 
+  // --- q19_setops: INTERSECT / EXCEPT ------------------------------------
+  def q19Setops(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def users(t: String) = e.filter(col("event_type") === t).select("user_id")
+    val both = users("click").intersect(users("purchase"))
+    val clickOnly = users("click").except(users("purchase"))
+    both.agg(count(lit(1)).as("n_click_and_purchase"))
+      .crossJoin(clickOnly.agg(count(lit(1)).as("n_click_only")))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT user_id FROM events WHERE event_type = 'click'
+      |     INTERSECT
+      |     SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |    AS n_click_and_purchase,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT user_id FROM events WHERE event_type = 'click'
+      |     EXCEPT
+      |     SELECT user_id FROM events WHERE event_type = 'purchase'))
+      |    AS n_click_only""".stripMargin
+
+  // --- q20_above_avg: correlated-subquery semantics -----------------------
+  // "orders above their customer's average order value": the correlated
+  // scalar subquery the oracle runs becomes, Spark-first, a single window
+  // average over the customer partition — one shuffle, no per-row re-scan.
+  def q20AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, dir)
+      .withColumn("cust_sum",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))).over(w))
+      .withColumn("cust_n", count(lit(1)).over(w))
+      .withColumn("cust_avg", col("cust_sum").cast("double") / col("cust_n"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_above_avg"),
+           Det.dsum(col("o_totalprice")).as("total_above"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q20Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_above_avg,
+       |  ${Det.sqlDsum("o_totalprice")} AS total_above
+       |FROM orders o
+       |WHERE o_totalprice > (
+       |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+       |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -470,6 +520,8 @@ object Relational {
     "q16_sessionize" -> (q16Sessionize _),
     "q17_json_props" -> (q17JsonProps _),
     "q18_part_supplier" -> (q18PartSupplier _),
+    "q19_setops" -> (q19Setops _),
+    "q20_above_avg" -> (q20AboveAvg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +543,7 @@ object Relational {
     "q16_sessionize" -> q16Sql,
     "q17_json_props" -> q17Sql,
     "q18_part_supplier" -> q18Sql,
+    "q19_setops" -> q19Sql,
+    "q20_above_avg" -> q20Sql,
   )
 }

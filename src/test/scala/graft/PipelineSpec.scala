@@ -25,6 +25,16 @@ class PipelineSpec extends SparkSpec {
       s"LSH missed high-jaccard pairs: ${exact -- lsh}")
   }
 
+  test("d6 canonical dedup groups are exactly the d4 high-jaccard components") {
+    // the corpus plants near-dups as marker-decorated copies: stripping
+    // the marker (d6) must collapse precisely the pairs d4 scores ~1.0
+    val d6Pairs = Dedup.d6CanonicalDedup(spark, sf).count()
+    val d4High = Dedup.d4NgramJaccard(spark, sf).filter(col("jaccard") > 0.9).count()
+    assert(d6Pairs > 0)
+    assert(d6Pairs <= d4High + 1, // components vs pairs: equal when groups are pairs
+      s"canonical groups ($d6Pairs) inconsistent with high-jaccard pairs ($d4High)")
+  }
+
   test("d3 simhash: near-dup docs have small hamming distance") {
     val sim = Dedup.d3Simhash(spark, sf).select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
