@@ -187,7 +187,7 @@ object Similarity {
       .filter(col("prnk") <= NProbe)
       .select(col("q_id"), col("qe"), col("qn"), col("c_id").as("cluster"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-    probes.join(assigned, "cluster")
+    broadcast(probes).join(assigned, "cluster")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
