@@ -10,9 +10,12 @@ import org.apache.spark.sql.types.DecimalType
   * aggregation order differs from DuckDB's single-node order. We therefore
   * sum *exactly*, in decimal, and only cast to double at the very end:
   * both engines then produce the bit-identical IEEE double. Per-row casts
-  * double->decimal round to nearest; a tie would need the double to be
-  * exactly k*10^-s + 5*10^-(s+1), which is not a dyadic rational for s>=1,
-  * so it never occurs and both engines round identically.
+  * double->decimal round to nearest; a tie IS representable (a double can
+  * be exactly k*10^-s + 5*10^-(s+1) when that value is dyadic, e.g.
+  * 0.03125 = 1/32 at s=4), but both engines resolve ties identically —
+  * Spark's Decimal.changePrecision uses HALF_UP and DuckDB rounds half
+  * away from zero (verified: 0.03125 -> 0.0313, -0.03125 -> -0.0313 in
+  * both; asserted in PropertySpec) — so per-row casts always agree.
   *
   * Mirror SQL (DuckDB): `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
   */

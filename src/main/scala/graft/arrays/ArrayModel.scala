@@ -37,7 +37,9 @@ object ArrayModel {
       // dim indices are non-negative by contract (events before the grid
       // epoch are out of the collection's domain); this also keeps Spark's
       // truncating integer division aligned with the oracle's floor
-      // division in every tile computation downstream
+      // division in every tile computation downstream. i1 is always >= 0
+      // (pmod here, and the oracle mirrors pmod for negative user_id via
+      // ((u % n) + n) % n), so the i1 predicate is a vacuous guard.
       .filter(col("i0") >= 0 && col("i1") >= 0)
       .select("coll", "array_id", "i0", "i1", "value")
 
@@ -75,7 +77,7 @@ object ArrayModel {
     s"""cells AS (
        |  SELECT '$Coll' AS coll, event_type AS array_id,
        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS i0,
-       |    CAST(user_id % $Dim1Size AS BIGINT) AS i1,
+       |    CAST(((user_id % $Dim1Size) + $Dim1Size) % $Dim1Size AS BIGINT) AS i1,
        |    ${Det.sqlDsum("value")} AS value
        |  FROM events GROUP BY 1, 2, 3, 4
        |  HAVING i0 >= 0 AND i1 >= 0

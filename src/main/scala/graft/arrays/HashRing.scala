@@ -47,8 +47,22 @@ final class HashRing(nodes: Seq[String], weights: Map[String, Int] = Map.empty) 
     }
   }
 
-  val sortedKeys: Seq[Long] = ring.map(_._1).sorted
-  private val byKey: Map[Long, String] = ring.toMap
+  /** Canonical (key, node) resolution, sorted by key, one entry per key:
+    * on a duplicate 32-bit ring key the LAST generated entry wins — the
+    * reference's dict-assignment semantics (hash_ring.py `ring[key] =
+    * node`). Every lookup structure — driver [[getNode]], the executor
+    * RingTable, and the DuckDB oracle VALUES list — is built from this one
+    * sequence, so a collision can never make them disagree (and the
+    * oracle's scalar subquery can never see two rows for one key).
+    */
+  val canonical: Seq[(Long, String)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+    ring.foreach { case (k, n) => m(k) = n }
+    m.toSeq.sortBy(_._1)
+  }
+
+  val sortedKeys: Seq[Long] = canonical.map(_._1)
+  private val byKey: Map[Long, String] = canonical.toMap
 
   /** Successor-strictly-greater lookup, wrapping to the first key. */
   def getNode(stringKey: String): String = {
@@ -57,9 +71,9 @@ final class HashRing(nodes: Seq[String], weights: Map[String, Int] = Map.empty) 
     byKey(if (pos < 0) sortedKeys.head else sortedKeys(pos))
   }
 
-  /** SQL fragment: the ring as a VALUES list for the DuckDB oracle. */
+  /** SQL fragment: the canonical ring as a VALUES list for the oracle. */
   def sqlValues: String =
-    ring.map { case (k, n) => s"($k, '$n')" }.mkString(", ")
+    canonical.map { case (k, n) => s"($k, '$n')" }.mkString(", ")
 }
 
 object HashRing {

@@ -232,9 +232,11 @@ object Relational {
               col("event_id").as("purchase_id"))
     // purchases sort before clicks at equal ts, so an equal-ts click falls
     // outside the purchase's frame => strict "click before purchase" (the
-    // oracle's c.ts < p.ts)
+    // oracle's c.ts < p.ts). click_id as the final key makes equal-ts
+    // click ties deterministic (largest id wins, = the oracle's arg_max
+    // by (ts, event_id)).
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("click_id").isNotNull.cast("int"))
+      .orderBy(col("ts"), col("click_id").isNotNull.cast("int"), col("click_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
       .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
@@ -245,7 +247,7 @@ object Relational {
 
   val q10Sql: String =
     """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
-      |  arg_max(c.event_id, c.ts) AS click_id
+      |  MAX({'ts': c.ts, 'id': c.event_id}).id AS click_id
       |FROM events p
       |JOIN events c ON c.user_id = p.user_id
       |  AND c.event_type = 'click' AND c.ts < p.ts

@@ -96,11 +96,13 @@ object Dedup {
     * (map-side combine; shuffle only on doc_id).
     */
   def signatures(s: SparkSession, dir: String): DataFrame = {
-    val h = graft.functions.GenKey(col("s"))
+    // project the MD5-based hash ONCE per shingle row; referencing GenKey(s)
+    // inside each of the 16 min() aggs would digest the string 16 times
     val aggs = (0 until NumPerm).map { j =>
-      min(pmod(lit(permA(j)) * h + lit(permB(j)), lit(P))).as(s"sig_$j")
+      min(pmod(lit(permA(j)) * col("h") + lit(permB(j)), lit(P))).as(s"sig_$j")
     }
     shingles(s, dir)
+      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -163,11 +165,12 @@ object Dedup {
 
   // --- d3_simhash: 32-bit sketch + prefix bucket --------------------------
   def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+    // hash each token once (see signatures: 32 agg exprs share one digest)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val h = graft.functions.GenKey(col("tok"))
+      .select(col("doc_id"), graft.functions.GenKey(col("tok")).as("h"))
     val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"bit_$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"bit_$b")
     }
     val fp = (0 until 32).map { b =>
       when(col(s"bit_$b") > 0, 1L << b).otherwise(0L)

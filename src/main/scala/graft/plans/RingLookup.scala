@@ -13,7 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (a few KB), shared by every task.
   */
 final class RingTable(ring: HashRing) extends Serializable {
-  private val entries: Array[(Long, String)] = ring.ring.sortBy(_._1).toArray
+  // ring.canonical is the single source of truth for key -> node (one
+  // entry per key, duplicate ring keys already resolved last-wins), so
+  // this table and driver-side HashRing.getNode can never disagree
+  private val entries: Array[(Long, String)] = ring.canonical.toArray
   private val keys: Array[Long] = entries.map(_._1)
   private val nodes: Array[UTF8String] =
     entries.map(e => UTF8String.fromString(e._2))
@@ -24,12 +27,8 @@ final class RingTable(ring: HashRing) extends Serializable {
     */
   def lookup(h: Long): UTF8String = {
     var idx = java.util.Arrays.binarySearch(keys, h)
-    if (idx >= 0) {
-      idx += 1 // exact hit: successor is strictly greater
-      while (idx < keys.length && keys(idx) == h) idx += 1
-    } else {
-      idx = -idx - 1 // insertion point = first key > h
-    }
+    if (idx >= 0) idx += 1 // exact hit: successor is strictly greater
+    else idx = -idx - 1 // insertion point = first key > h
     nodes(if (idx >= keys.length) 0 else idx)
   }
 }

@@ -43,6 +43,27 @@ object GraftProperties extends Properties("graft") {
         toNew <= keys.size // sanity: counts are well-formed
     }
 
+  // the driver-side map and the executor-side RingTable are built from one
+  // canonical (key -> node) resolution; they must agree for every key
+  private val currentTable = new graft.plans.RingTable(HashRing.current)
+  property("ring.driverAndExecutorLookupAgree") = Prop.forAll(keyGen) { k =>
+    currentTable.lookup(HashRing.current.genKey(k)).toString ==
+      HashRing.current.getNode(k)
+  }
+
+  // Det.scala's tie contract: double->decimal(18,4) ties (dyadic values
+  // like 0.03125 = 1/32) round half-away-from-zero in Spark; DuckDB was
+  // verified to do the same (0.03125 -> 0.0313, -0.03125 -> -0.0313).
+  property("det.decimalTieRoundsHalfUp") = Prop {
+    def sparkRound(d: Double): java.math.BigDecimal = {
+      val dec = org.apache.spark.sql.types.Decimal(d)
+      dec.changePrecision(18, 4)
+      dec.toJavaBigDecimal
+    }
+    sparkRound(0.03125).compareTo(new java.math.BigDecimal("0.0313")) == 0 &&
+      sparkRound(-0.03125).compareTo(new java.math.BigDecimal("-0.0313")) == 0
+  }
+
   private val eventsGen: Gen[List[(Long, Long, Double)]] =
     Gen.listOf(for {
       ts <- Gen.chooseNum(0L, 100L * 3600 * 1000000) // 100h span, us
