@@ -1,7 +1,8 @@
 package graft.arrays
 
-import graft.Det
+import graft.{Det, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2-A: the reference's array-adapter surface re-expressed as Spark
@@ -390,6 +391,78 @@ object ArrayOps {
        |  AND i1 >= 0 AND i1 < 16
        |ORDER BY i0, i1""".stripMargin
 
+  // --- a17_read_replicas: failover preference list per array --------------
+  // The reference's read path retries across cluster nodes when the owner
+  // is unreachable (utils/requests.py:47); the deterministic engine form is
+  // the ketama replica set — the first 3 DISTINCT nodes clockwise from the
+  // key (owner first). Native RingReplicas expression: codegen'd, O(log
+  // ring + walk) per row, embarrassingly parallel like a11.
+  def a17ReadReplicas(s: SparkSession, dir: String): DataFrame =
+    tiles(s, dir)
+      .withColumn("reps", graft.plans.RingReplicas.replicas(
+        graft.functions.GenKey(col("hash_key")), HashRing.current, 3))
+      .select(col("vid"), col("v0"), col("hash_key"),
+              element_at(col("reps"), 1).as("replica_1"),
+              element_at(col("reps"), 2).as("replica_2"),
+              element_at(col("reps"), 3).as("replica_3"))
+      .orderBy("vid", "v0")
+
+  val a17Sql: String =
+    s"""WITH $cellsSql, $tilesSql,
+       |ring(k, node) AS (VALUES ${HashRing.current.sqlValues}),
+       |tkeys AS (
+       |  SELECT vid, v0, hash_key, ${HashRing.duckGenKey("hash_key")} AS h
+       |  FROM tiles),
+       |ranked AS (
+       |  SELECT hash_key, node,
+       |    ROW_NUMBER() OVER (PARTITION BY hash_key ORDER BY min_ord) AS rr
+       |  FROM (
+       |    SELECT t.hash_key, r.node,
+       |      MIN(CASE WHEN r.k > t.h THEN r.k - t.h
+       |               ELSE r.k - t.h + 4294967296 END) AS min_ord
+       |    FROM tkeys t CROSS JOIN ring r
+       |    GROUP BY t.hash_key, r.node))
+       |SELECT t.vid, t.v0, t.hash_key,
+       |  MAX(CASE WHEN rr = 1 THEN node END) AS replica_1,
+       |  MAX(CASE WHEN rr = 2 THEN node END) AS replica_2,
+       |  MAX(CASE WHEN rr = 3 THEN node END) AS replica_3
+       |FROM tkeys t JOIN ranked USING (hash_key)
+       |WHERE rr <= 3
+       |GROUP BY t.vid, t.v0, t.hash_key
+       |ORDER BY vid, v0""".stripMargin
+
+  // --- a18_rate_limit: flow-control throttling as a data transform --------
+  // httpx_client.py surfaces 429 + RateLimit-{Limit,Remaining} headers; the
+  // engine-side equivalent is a per-(user, day) token budget applied with
+  // one window pass — request seq > cap => throttled. One shuffle on the
+  // rate key; WindowGroupLimit doesn't apply (every row is kept) but the
+  // frame is a running count, no sort-spill risk beyond the key group.
+  val RateCap = 5
+
+  def a18RateLimit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day_idx").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("day_idx", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_requests"),
+           sum(when(col("seq") > RateCap, 1L).otherwise(0L)).as("n_throttled"))
+      .filter(col("n_throttled") > 0)
+      .orderBy("user_id")
+  }
+
+  val a18Sql: String =
+    s"""SELECT user_id, COUNT(*) AS n_requests,
+       |  CAST(SUM(CASE WHEN seq > $RateCap THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled
+       |FROM (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+       |                       ORDER BY ts, event_id) AS seq
+       |  FROM events)
+       |GROUP BY user_id
+       |HAVING SUM(CASE WHEN seq > $RateCap THEN 1 ELSE 0 END) > 0
+       |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
@@ -407,6 +480,8 @@ object ArrayOps {
     "a10_varray_assemble" -> (a10VarrayAssemble _),
     "a11_hashring_place" -> (a11HashringPlace _),
     "a12_ring_rebalance" -> (a12RingRebalance _),
+    "a17_read_replicas" -> (a17ReadReplicas _),
+    "a18_rate_limit" -> (a18RateLimit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -426,5 +501,7 @@ object ArrayOps {
     "a10_varray_assemble" -> a10Sql,
     "a11_hashring_place" -> a11Sql,
     "a12_ring_rebalance" -> a12Sql,
+    "a17_read_replicas" -> a17Sql,
+    "a18_rate_limit" -> a18Sql,
   )
 }

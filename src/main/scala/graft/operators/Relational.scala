@@ -502,6 +502,68 @@ object Relational {
        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --- q21_grouping_sets: arbitrary multi-level aggregation ---------------
+  // ROLLUP (q8) only covers prefix hierarchies; GROUPING SETS computes an
+  // arbitrary lattice — here both one-dimensional marginals plus the full
+  // cross and the grand total — in ONE pass over the fact (Expand + single
+  // shuffle), where naive SQL would scan four times.
+  def q21GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           Det.dsum(col("o_totalprice")).as("total_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+  }
+
+  val q21Sql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n_orders,
+       |  ${Det.sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |                        (o_orderstatus), (o_orderpriority), ())
+       |ORDER BY status, priority""".stripMargin
+
+  // --- q22_range_window: time-range moving aggregate ----------------------
+  // 7-day trailing revenue per customer: a RANGE frame over a day index —
+  // one shuffle on the partition key, the frame scan is a sliding pointer
+  // over the sorted partition (no self-join / no per-row rescan, which is
+  // how the equivalent correlated query would execute).
+  def q22RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day_idx")
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("day_idx",
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")).cast("long"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .withColumn("mov_rev",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .over(w).cast("double"))
+      .filter(col("o_custkey") < 200)
+      .select("o_custkey", "o_orderkey", "day_idx", "n_in_window", "mov_rev")
+      .orderBy("o_custkey", "day_idx", "o_orderkey")
+  }
+
+  val q22Sql: String =
+    """SELECT o_custkey, o_orderkey, day_idx, n_in_window, mov_rev FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+      |    COUNT(*) OVER w AS n_in_window,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mov_rev
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+      |               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |WHERE o_custkey < 200
+      |ORDER BY o_custkey, day_idx, o_orderkey""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -524,6 +586,8 @@ object Relational {
     "q18_part_supplier" -> (q18PartSupplier _),
     "q19_setops" -> (q19Setops _),
     "q20_above_avg" -> (q20AboveAvg _),
+    "q21_grouping_sets" -> (q21GroupingSets _),
+    "q22_range_window" -> (q22RangeWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -547,5 +611,7 @@ object Relational {
     "q18_part_supplier" -> q18Sql,
     "q19_setops" -> q19Sql,
     "q20_above_avg" -> q20Sql,
+    "q21_grouping_sets" -> q21Sql,
+    "q22_range_window" -> q22Sql,
   )
 }

@@ -119,22 +119,43 @@ object Dedup {
        |)""".stripMargin
   }
 
-  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // no .cache(): the signature aggregation ends in an exchange that
-    // Spark's ReusedExchange dedupes across the three consumers, without
-    // pinning storage memory for the session lifetime
-    val sig = signatures(s, dir)
+  /** LSH band-bucket candidate pairs (doc_a < doc_b), from a signature DF.
+    * Shared by d2 (which re-ranks by signature agreement) and d7 (which
+    * assembles candidate pairs into duplicate groups).
+    */
+  def candidatePairs(sig: DataFrame): DataFrame = {
     val bands = sig
       .select(col("doc_id"), explode(array((0 until Bands).map(lit(_)): _*)).as("band"), col("sigs"))
       .withColumn("bkey", concat_ws(",",
         (1 to NumPerm / Bands).map(r => element_at(col("sigs"), col("band") * (NumPerm / Bands) + r)): _*))
       .select("doc_id", "band", "bkey")
     val l = bands.as("l"); val r = bands.as("r")
-    val pairs = l.join(r,
+    l.join(r,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** The pairs CTE chain shared by d2/d7 oracles (needs shingles+sigs). */
+  val pairsSql: String = {
+    val rows = NumPerm / Bands
+    val bkey = (1 to rows).map(r => s"CAST(sigs[b * $rows + $r] AS VARCHAR)").mkString(" || ',' || ")
+    s"""bands AS (
+       |  SELECT doc_id, b AS band, $bkey AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // no .cache(): the signature aggregation ends in an exchange that
+    // Spark's ReusedExchange dedupes across the three consumers, without
+    // pinning storage memory for the session lifetime
+    val sig = signatures(s, dir)
+    val pairs = candidatePairs(sig)
     val sa = sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -146,16 +167,8 @@ object Dedup {
   }
 
   val d2Sql: String = {
-    val rows = NumPerm / Bands
-    val bkey = (1 to rows).map(r => s"CAST(sigs[b * $rows + $r] AS VARCHAR)").mkString(" || ',' || ")
     s"""WITH $shinglesSql, $signaturesSql,
-       |bands AS (
-       |  SELECT doc_id, b AS band, $bkey AS bkey
-       |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
-       |pairs AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+       |$pairsSql
        |SELECT doc_a, doc_b,
        |  len(list_filter(range(1, $NumPerm + 1), i -> sa.sigs[i] = sb.sigs[i])) AS n_match,
        |  CAST(len(list_filter(range(1, $NumPerm + 1), i -> sa.sigs[i] = sb.sigs[i])) AS DOUBLE) / $NumPerm AS est_jaccard
@@ -268,6 +281,60 @@ object Dedup {
        |WHERE ${Similarity.cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --- d7_dup_groups: duplicate-group assembly (connected components) -----
+  // The step after candidate generation in every dedup pipeline: pairs are
+  // not groups — transitively-linked docs must collapse to ONE keeper. Min-
+  // label propagation over the LSH candidate graph: each round is one
+  // join + partial-agg min (shuffle on doc id), rounds = component
+  // diameter (near-dup clusters are shallow — a handful of rounds), with
+  // localCheckpoint truncating lineage between rounds. The oracle replays
+  // it as a recursive transitive closure.
+  def d7DupGroups(s: SparkSession, dir: String): DataFrame = {
+    val edges = candidatePairs(signatures(s, dir))
+    val sym = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = sym.select(col("doc_a").as("doc"), col("doc_a").as("lbl"))
+      .unionByName(sym.select(col("doc_a").as("doc"), col("doc_b").as("lbl")))
+      .groupBy("doc").agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = sym
+        .join(labels.select(col("doc").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
+        .groupBy(col("doc_a").as("doc")).agg(min(col("nlbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("doc"))
+        .select(col("doc"), least(col("lbl"), col("nbr_lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "lbl")
+      .select(col("doc").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  val d7Sql: String =
+    s"""WITH RECURSIVE $shinglesSql, $signaturesSql,
+       |$pairsSql,
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       |lbl AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id
+       |  FROM reach GROUP BY a)
+       |SELECT doc_id, group_id, group_size
+       |FROM lbl JOIN (
+       |  SELECT group_id, COUNT(*) AS group_size FROM lbl GROUP BY group_id)
+       |  USING (group_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d6_canonical_dedup" -> (d6CanonicalDedup _),
@@ -275,6 +342,7 @@ object Dedup {
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embed_dedup" -> (d5EmbedDedup _),
+    "d7_dup_groups" -> (d7DupGroups _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,5 +352,6 @@ object Dedup {
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embed_dedup" -> d5Sql,
+    "d7_dup_groups" -> d7Sql,
   )
 }

@@ -59,9 +59,67 @@ object Multimodal {
       |  'fake/raw' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- m2_frame_sample ----------------------------------------------------
+  // Video-style frame sampling over the binary payload: split into fixed
+  // 64-byte frames, keep every 4th, emit per-frame metadata + checksum.
+  // Same mapPartitions batch shape as m1 (decoder init once per
+  // partition); a real deployment replaces the checksum with a codec's
+  // frame decode. flatMap keeps it streaming — no document's full frame
+  // list is ever materialized per row.
+  val FrameBytes = 64
+  val SampleEvery = 4
+
+  case class FrameMeta(doc_id: Long, frame_idx: Long, n_bytes: Long,
+                       checksum: Long)
+
+  def m2FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[DocBlob]
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val nFrames = (b.data.length + FrameBytes - 1) / FrameBytes
+          (0 until nFrames).iterator
+            .filter(_ % SampleEvery == 0)
+            .map { f =>
+              val start = f * FrameBytes
+              val end = math.min(start + FrameBytes, b.data.length)
+              var sum = 0L
+              var i = start
+              while (i < end) { sum += (b.data(i) & 0xff); i += 1 }
+              FrameMeta(b.doc_id, f.toLong, (end - start).toLong, sum)
+            }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // ascii payload: octet positions == char positions, so the oracle
+  // replays the framing with substr + per-char code-point sums
+  val m2Sql: String =
+    s"""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(length(chunk) AS BIGINT) AS n_bytes,
+       |  CAST(list_reduce(list_prepend(0,
+       |    list_transform(range(1, length(chunk) + 1),
+       |                   i -> ascii(substr(chunk, CAST(i AS INTEGER), 1)))),
+       |    (a, b) -> a + b) AS BIGINT) AS checksum
+       |FROM (
+       |  SELECT doc_id, f,
+       |    substr(text, CAST(1 + f * $FrameBytes AS INTEGER), $FrameBytes) AS chunk
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      unnest(range(0, CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT))) AS f
+       |    FROM documents)
+       |  WHERE f % $SampleEvery = 0)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m1_multimodal" -> (m1Multimodal _))
+    "m1_multimodal" -> (m1Multimodal _),
+    "m2_frame_sample" -> (m2FrameSample _))
 
   val oracles: Map[String, String] = Map(
-    "m1_multimodal" -> m1Sql)
+    "m1_multimodal" -> m1Sql,
+    "m2_frame_sample" -> m2Sql)
 }

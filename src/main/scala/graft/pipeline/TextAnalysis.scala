@@ -185,12 +185,38 @@ object TextAnalysis {
       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, score
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // --- t6_type_token_ratio: lexical-diversity quality signal --------------
+  // TTR (distinct tokens / tokens) flags template/spam text that length or
+  // punctuation ratios (t2) miss. Unlike t1-t4's map-only shape, this needs
+  // a per-doc distinct — executed as the classic two-phase distinct-agg
+  // (partial dedup of (doc, tok) map-side, then count) so no token list is
+  // ever collected per row. The ratio is a single IEEE division of two
+  // exact longs — bit-identical on both engines.
+  def t6TypeTokenRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("tok")).as("n_types"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+
+  val t6Sql: String =
+    """SELECT doc_id, COUNT(*) AS n_tokens,
+      |  COUNT(DISTINCT tok) AS n_types,
+      |  CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ttr
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_top_terms" -> (t5TopTerms _),
     "t1_langid" -> (t1Langid _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t6_type_token_ratio" -> (t6TypeTokenRatio _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -199,5 +225,6 @@ object TextAnalysis {
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
+    "t6_type_token_ratio" -> t6Sql,
   )
 }

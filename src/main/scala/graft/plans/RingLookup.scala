@@ -31,6 +31,27 @@ final class RingTable(ring: HashRing) extends Serializable {
     else idx = -idx - 1 // insertion point = first key > h
     nodes(if (idx >= keys.length) 0 else idx)
   }
+
+  /** Failover preference list: the first `k` DISTINCT nodes walking
+    * clockwise from `h` (the owner first, then the nodes a client falls
+    * back to when the owner is unreachable — the deterministic form of
+    * utils/requests.py's retry-across-nodes read path, and the classic
+    * ketama replica set).
+    */
+  def replicasData(h: Long, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    var idx = java.util.Arrays.binarySearch(keys, h)
+    if (idx >= 0) idx += 1 else idx = -idx - 1
+    val start = if (idx >= keys.length) 0 else idx
+    val out = new java.util.ArrayList[UTF8String](k)
+    var steps = 0
+    while (out.size < k && steps < keys.length) {
+      val n = nodes((start + steps) % keys.length)
+      if (!out.contains(n)) out.add(n)
+      steps += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[UTF8String](out.size)).asInstanceOf[Array[Any]])
+  }
 }
 
 /** Native Catalyst expression: consistent-hash ring placement of a 32-bit
@@ -64,4 +85,34 @@ object RingLookup {
   def place(hash: Column, ring: HashRing): Column =
     GraftShim.column(
       RingLookup(GraftShim.expression(hash), new RingTable(ring)))
+}
+
+/** Native expression: the ordered k-node failover preference list for a
+  * ring position (see [[RingTable.replicasData]]). Codegen'd like
+  * [[RingLookup]]; returns array<string> of the first k distinct nodes
+  * clockwise.
+  */
+case class RingReplicas(child: Expression, table: RingTable, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ring_replicas"
+
+  override protected def nullSafeEval(input: Any): Any =
+    table.replicasData(input.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ringTable", table, classOf[RingTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.replicasData($c, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RingReplicas =
+    copy(child = newChild)
+}
+
+object RingReplicas {
+  def replicas(hash: Column, ring: HashRing, k: Int): Column =
+    GraftShim.column(
+      RingReplicas(GraftShim.expression(hash), new RingTable(ring), k))
 }

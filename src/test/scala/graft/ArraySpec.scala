@@ -68,6 +68,48 @@ class ArraySpec extends SparkSpec {
     }
   }
 
+  test("a17 replica lists: owner first, all distinct, codegen'd at volume") {
+    val rows = ArrayOps.a17ReadReplicas(spark, sf).collect()
+    rows.foreach { r =>
+      val key = r.getAs[String]("hash_key")
+      val reps = Seq("replica_1", "replica_2", "replica_3").map(r.getAs[String])
+      assert(reps.head == HashRing.current.getNode(key), "owner must lead the list")
+      assert(reps.distinct == reps, s"replica list has duplicates: $reps")
+      assert(reps.toSet == HashRing.currentNodes.toSet,
+        "3 replicas over a 3-node ring must cover every node")
+    }
+    // the RingReplicas expression stays inside whole-stage codegen
+    import graft.plans.RingReplicas
+    val df = spark.range(500)
+      .withColumn("k", concat(lit("key-"), col("id")))
+      .withColumn("reps", RingReplicas.replicas(
+        graft.functions.GenKey(col("k")), HashRing.current, 3))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"ring_replicas fell out of codegen:\n$plan")
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](2).head ==
+        HashRing.current.getNode(r.getAs[String]("k")))
+    }
+  }
+
+  test("a18 rate limit: per-day cap honored, throttle counts consistent") {
+    val rows = ArrayOps.a18RateLimit(spark, sf).collect()
+    assert(rows.nonEmpty, "test data should contain bursty users")
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(2) < r.getLong(1),
+        "throttled must be a proper subset of requests")
+    }
+    // cross-check one user against a direct per-day count
+    val u = rows.head.getLong(0)
+    val perDay = Tables.events(spark, sf)
+      .filter(col("user_id") === u)
+      .groupBy(expr("unix_micros(ts) div 86400000000")).count()
+      .collect().map(_.getLong(1))
+    val expectThrottled = perDay.map(n => math.max(0L, n - ArrayOps.RateCap)).sum
+    assert(rows.head.getLong(2) == expectThrottled)
+  }
+
   test("patch then read-back returns patched values inside bounds only") {
     val c = ArrayModel.cells(spark, sf)
     val patched = ArrayOps.patch(c, "click", (10L, 20L), (4L, 12L), lit(-1.0))

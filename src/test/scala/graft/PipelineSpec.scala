@@ -115,6 +115,49 @@ class PipelineSpec extends SparkSpec {
     assert(m.filter(col("n_bytes") <= 0).count() == 0)
   }
 
+  test("d7 dup groups: canonical keeper, transitive closure of d2 pairs") {
+    val pairs = Dedup.d2MinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = Dedup.d7DupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every candidate edge's endpoints land in the same group, and the
+    // group id is the component minimum (so it's one of its own members)
+    pairs.foreach { case (a, b) =>
+      assert(groups(a) == groups(b), s"edge ($a,$b) split across groups")
+    }
+    groups.values.foreach(g => assert(groups(g) == g, s"group id $g not canonical"))
+    groups.foreach { case (d, g) => assert(g <= d) }
+  }
+
+  test("t6 TTR: bounded by 1, types never exceed tokens") {
+    val rows = TextAnalysis.t6TypeTokenRatio(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, ty, ttr) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(ty >= 1 && ty <= n)
+      assert(ttr > 0.0 && ttr <= 1.0)
+      assert(ttr == ty.toDouble / n.toDouble)
+    }
+  }
+
+  test("m2 frame sampling: every 4th 64-byte frame, checksums match bytes") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .limit(10).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val frames = Multimodal.m2FrameSample(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val expect = (0 until (bytes.length + 63) / 64).filter(_ % 4 == 0)
+      val got = frames(id).sortBy(_.getLong(1))
+      assert(got.map(_.getLong(1)).toSeq == expect.map(_.toLong))
+      got.foreach { r =>
+        val f = r.getLong(1).toInt
+        val chunk = bytes.slice(f * 64, math.min(f * 64 + 64, bytes.length))
+        assert(r.getLong(2) == chunk.length.toLong)
+        assert(r.getLong(3) == chunk.map(_ & 0xff).map(_.toLong).sum)
+      }
+    }
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString

@@ -68,4 +68,31 @@ class RelationalSpec extends SparkSpec {
     val plan = Relational.q5Multijoin(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
+
+  test("q21 grouping sets: marginals and grand total reconcile") {
+    val rows = Relational.q21GroupingSets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val grand = rows(("ALL", "ALL"))
+    val statusMarginal = rows.collect { case ((s, "ALL"), n) if s != "ALL" => n }.sum
+    val priorityMarginal = rows.collect { case (("ALL", p), n) if p != "ALL" => n }.sum
+    val cross = rows.collect { case ((s, p), n) if s != "ALL" && p != "ALL" => n }.sum
+    assert(statusMarginal == grand && priorityMarginal == grand && cross == grand)
+    // one Expand + one shuffle, not four scans
+    val plan = Relational.q21GroupingSets(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets should compile to Expand")
+  }
+
+  test("q22 range window: trailing frame contains the row itself and only <=6-day-older peers") {
+    val rows = Relational.q22RangeWindow(spark, sf).collect()
+    rows.foreach(r => assert(r.getLong(3) >= 1))
+    // cross-check one customer against a direct quadratic computation
+    val cust = rows.head.getLong(0)
+    val mine = rows.filter(_.getLong(0) == cust)
+    val days = mine.map(_.getLong(2))
+    mine.foreach { r =>
+      val d = r.getLong(2)
+      val expectN = days.count(x => x >= d - 6 && x <= d)
+      assert(r.getLong(3) == expectN, s"window count mismatch at day $d")
+    }
+  }
 }
