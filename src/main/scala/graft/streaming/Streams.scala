@@ -188,11 +188,43 @@ object Streams {
       |GROUP BY p.user_id, p.event_id
       |ORDER BY purchase_id""".stripMargin
 
+  // --- st5_stream_grid_build: streaming ingest into the array store -------
+  /** The cells derivation (ArrayModel.cells / base.py:111 create) as an
+    * INCREMENTAL materialized view: the same grid aggregation keyed on an
+    * event-time day window, so a stream of raw events maintains the
+    * partitioned cell table continuously (watermark bounds state; late
+    * cells re-emit their updated aggregate). At 100 TB this is how the
+    * array store ingests — no batch recompute of the whole grid.
+    */
+  def gridBuildTransform(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"),
+               col("event_type").as("array_id"),
+               pmod(col("user_id"), lit(graft.arrays.ArrayModel.Dim1Size))
+                 .cast("long").as("i1"))
+      .agg(Det.dsum(col("value")).as("value"))
+      .select(lit(graft.arrays.ArrayModel.Coll).as("coll"), col("array_id"),
+              datediff(to_date(col("window.start")),
+                       lit("2024-01-01").cast("date")).cast("long").as("i0"),
+              col("i1"), col("value"))
+
+  def st5StreamGridBuild(s: SparkSession, dir: String): DataFrame =
+    gridBuildTransform(Tables.events(s, dir))
+      .filter(col("i0") >= 0)
+      .orderBy("array_id", "i0", "i1")
+
+  val st5Sql: String =
+    s"""WITH ${graft.arrays.ArrayModel.cellsSql}
+       |SELECT coll, array_id, i0, i1, value FROM cells
+       |ORDER BY array_id, i0, i1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> (st1StreamWindow _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stream_session" -> (st3StreamSession _),
     "st4_stream_join" -> (st4StreamJoin _),
+    "st5_stream_grid_build" -> (st5StreamGridBuild _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +232,6 @@ object Streams {
     "st2_stream_dedup" -> st2Sql,
     "st3_stream_session" -> st3Sql,
     "st4_stream_join" -> st4Sql,
+    "st5_stream_grid_build" -> st5Sql,
   )
 }

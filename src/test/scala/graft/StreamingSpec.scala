@@ -85,6 +85,21 @@ class StreamingSpec extends SparkSpec {
       "stream-stream join pairs != batch join pairs")
   }
 
+  test("st5: streaming grid build converges to the batch cells derivation") {
+    val stream = Streams.readEventsStream(spark, eventsDir)
+    val q = Streams.gridBuildTransform(stream)
+      .writeStream.format("memory").queryName("st5_mem")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st5_mem").filter(col("i0") >= 0)
+      .select("coll", "array_id", "i0", "i1", "value")
+    val batch = graft.arrays.ArrayModel.cells(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "streaming grid ingest != batch cells derivation")
+  }
+
   test("st2: streaming dropDuplicates keeps one row per key") {
     val stream = Streams.readEventsStream(spark, eventsDir)
     val q = Streams.streamingDedupTransform(stream)
