@@ -83,6 +83,34 @@ object ArrayModel {
        |  HAVING i0 >= 0 AND i1 >= 0
        |)""".stripMargin
 
+  /** Second collection, derived from `documents`: one array per corpus
+    * source, dims = (doc bucket of 100, doc_id mod 16), cell value =
+    * summed n_chars (integer-valued, exact in double). Exists so the
+    * collection-management operators (collection_adapter.py create /
+    * iterate / delete) act on a client with MULTIPLE collections, like the
+    * reference's.
+    */
+  val CorpusColl = "corpus"
+
+  def corpusCells(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(
+        col("source").as("array_id"),
+        expr("doc_id div 100").as("i0"),
+        pmod(col("doc_id"), lit(Dim1Size.toLong)).as("i1"))
+      .agg(sum(col("n_chars")).cast("double").as("value"))
+      .withColumn("coll", lit(CorpusColl))
+      .select("coll", "array_id", "i0", "i1", "value")
+
+  val corpusCellsSql: String =
+    s"""corpus_cells AS (
+       |  SELECT '$CorpusColl' AS coll, source AS array_id,
+       |    CAST(doc_id // 100 AS BIGINT) AS i0,
+       |    CAST(doc_id % $Dim1Size AS BIGINT) AS i1,
+       |    CAST(SUM(n_chars) AS DOUBLE) AS value
+       |  FROM documents GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
   /** Catalog: one row per array — schema, shape, stats, custom attrs.
     * This is the Spark form of read_meta (base.py:166): metadata is a
     * (broadcastable) table derived from, or stored beside, the cells.

@@ -463,6 +463,55 @@ object ArrayOps {
        |HAVING SUM(CASE WHEN seq > $RateCap THEN 1 ELSE 0 END) > 0
        |ORDER BY user_id""".stripMargin
 
+  // --- a19_list_collections: iterate collections (collection_adapter.py) --
+  // The client holds MANY collections; iteration is a catalog-level scan —
+  // per-collection array counts + cell stats from the union of the (tiny,
+  // broadcastable) per-collection catalogs, never a scan of the cells.
+  private def allCells(s: SparkSession, dir: String): DataFrame =
+    cellsStored(s, dir).unionByName(corpusCells(s, dir))
+
+  def a19ListCollections(s: SparkSession, dir: String): DataFrame =
+    allCells(s, dir)
+      .groupBy("coll")
+      .agg(countDistinct(col("array_id")).as("n_arrays"),
+           count(lit(1)).as("n_cells"),
+           Det.dsum(col("value")).as("value_sum"))
+      .withColumn("dtype", lit("float64"))
+      .orderBy("coll")
+
+  val a19Sql: String =
+    s"""WITH $cellsSql, $corpusCellsSql,
+       |all_cells AS (
+       |  SELECT * FROM cells UNION ALL SELECT * FROM corpus_cells)
+       |SELECT coll, COUNT(DISTINCT array_id) AS n_arrays,
+       |  COUNT(*) AS n_cells, ${Det.sqlDsum("value")} AS value_sum,
+       |  'float64' AS dtype
+       |FROM all_cells GROUP BY coll ORDER BY coll""".stripMargin
+
+  // --- a20_collection_delete: delete a collection (collection_adapter.py) -
+  // Deleting 'corpus' = anti-join the unified catalog against the deleted
+  // name; survivors listed with their array stats. At scale this is a
+  // partition-directory drop (the store partitions by coll first), not a
+  // data rewrite — the query shows the catalog-state transition.
+  def a20CollectionDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val deleted = Seq(CorpusColl).toDF("del_coll")
+    allCells(s, dir)
+      .join(broadcast(deleted), col("coll") === col("del_coll"), "left_anti")
+      .groupBy("coll", "array_id")
+      .agg(count(lit(1)).as("n_cells"), Det.dsum(col("value")).as("value_sum"))
+      .orderBy("coll", "array_id")
+  }
+
+  val a20Sql: String =
+    s"""WITH $cellsSql, $corpusCellsSql,
+       |all_cells AS (
+       |  SELECT * FROM cells UNION ALL SELECT * FROM corpus_cells)
+       |SELECT coll, array_id, COUNT(*) AS n_cells,
+       |  ${Det.sqlDsum("value")} AS value_sum
+       |FROM all_cells WHERE coll <> '$CorpusColl'
+       |GROUP BY coll, array_id ORDER BY coll, array_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
@@ -482,6 +531,8 @@ object ArrayOps {
     "a12_ring_rebalance" -> (a12RingRebalance _),
     "a17_read_replicas" -> (a17ReadReplicas _),
     "a18_rate_limit" -> (a18RateLimit _),
+    "a19_list_collections" -> (a19ListCollections _),
+    "a20_collection_delete" -> (a20CollectionDelete _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,5 +554,7 @@ object ArrayOps {
     "a12_ring_rebalance" -> a12Sql,
     "a17_read_replicas" -> a17Sql,
     "a18_rate_limit" -> a18Sql,
+    "a19_list_collections" -> a19Sql,
+    "a20_collection_delete" -> a20Sql,
   )
 }

@@ -110,6 +110,16 @@ class ArraySpec extends SparkSpec {
     assert(rows.head.getLong(2) == expectThrottled)
   }
 
+  test("a19/a20 collection lifecycle: iterate sees both, delete keeps weather only") {
+    val colls = ArrayOps.a19ListCollections(spark, sf).collect()
+    assert(colls.map(_.getString(0)).toSeq == Seq(ArrayModel.CorpusColl, ArrayModel.Coll))
+    colls.foreach(r => assert(r.getLong(1) > 0 && r.getLong(2) > 0))
+    val survivors = ArrayOps.a20CollectionDelete(spark, sf).collect()
+    assert(survivors.nonEmpty)
+    assert(survivors.forall(_.getString(0) == ArrayModel.Coll),
+      "deleted collection must not survive")
+  }
+
   test("patch then read-back returns patched values inside bounds only") {
     val c = ArrayModel.cells(spark, sf)
     val patched = ArrayOps.patch(c, "click", (10L, 20L), (4L, 12L), lit(-1.0))
