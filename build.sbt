@@ -32,4 +32,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs all executors in this one JVM; 8g showed sporadic
   // multi-second full-GC stalls on the string-heavy dedup joins
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" "))

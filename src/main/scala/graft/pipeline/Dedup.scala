@@ -335,6 +335,77 @@ object Dedup {
        |  USING (group_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- d8_mixture_sample: deterministic domain mixing ---------------------
+  // The sampling stage of a training-data pipeline: each source gets a
+  // target keep-rate (quota in basis points) and docs are kept by a
+  // deterministic hash threshold — pmod(md5-key, 10000) < quota — so the
+  // sample is reproducible, shuffle-free (a pure filter), and composable
+  // (the same key range splits train/val). Quota: sources 0-4 keep all,
+  // 5-9 keep half, 10+ keep a quarter.
+  private def quotaBp(srcNum: Column): Column =
+    when(srcNum < 5, 10000L).when(srcNum < 10, 5000L).otherwise(2500L)
+
+  def d8MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(graft.functions.GenKey(
+      concat(col("source"), lit("/"), col("doc_id").cast("string"))), lit(10000L))
+    Tables.documents(s, dir)
+      .withColumn("quota_bp", quotaBp(substring(col("source"), 4, 10).cast("int")))
+      .withColumn("kept", h < col("quota_bp"))
+      .groupBy("source", "quota_bp")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("rate", col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .select("source", "quota_bp", "n_docs", "n_kept", "rate")
+      .orderBy("source")
+  }
+
+  val d8Sql: String = {
+    val h = HashRing.duckGenKey("source || '/' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT source, quota_bp, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+       |FROM (
+       |  SELECT source,
+       |    CAST(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 10000
+       |              WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 5000
+       |              ELSE 2500 END AS BIGINT) AS quota_bp,
+       |    ($h) % 10000 < CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 10000
+       |                        WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 5000
+       |                        ELSE 2500 END AS kept
+       |  FROM documents)
+       |GROUP BY source, quota_bp ORDER BY source""".stripMargin
+  }
+
+  // --- d9_decontaminate: benchmark-overlap contamination check ------------
+  // Before training, corpus docs that overlap an evaluation/benchmark set
+  // must be dropped. Benchmark = docs 0-19; a corpus doc is contaminated
+  // when it shares >= 5 distinct 3-shingles with the benchmark. The
+  // benchmark shingle set is tiny -> broadcast; the corpus side is a
+  // map-side hash semi-join + partial-agg count — the corpus never
+  // shuffles by shingle.
+  val ContamThreshold = 5
+
+  def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val bench = sh.filter(col("doc_id") < 20).select("s").distinct()
+    sh.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamThreshold)
+      .orderBy("doc_id")
+  }
+
+  val d9Sql: String =
+    s"""WITH $shinglesSql,
+       |bench AS (SELECT DISTINCT s FROM shingles WHERE doc_id < 20)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM shingles JOIN bench USING (s)
+       |WHERE doc_id >= 20
+       |GROUP BY doc_id
+       |HAVING COUNT(*) >= $ContamThreshold
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d6_canonical_dedup" -> (d6CanonicalDedup _),
@@ -343,6 +414,8 @@ object Dedup {
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
     "d5_embed_dedup" -> (d5EmbedDedup _),
     "d7_dup_groups" -> (d7DupGroups _),
+    "d8_mixture_sample" -> (d8MixtureSample _),
+    "d9_decontaminate" -> (d9Decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -353,5 +426,7 @@ object Dedup {
     "d4_ngram_jaccard" -> d4Sql,
     "d5_embed_dedup" -> d5Sql,
     "d7_dup_groups" -> d7Sql,
+    "d8_mixture_sample" -> d8Sql,
+    "d9_decontaminate" -> d9Sql,
   )
 }

@@ -158,6 +158,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d8 mixture sampling: rates track quotas, sample is deterministic") {
+    val rows = Dedup.d8MixtureSample(spark, sf).collect()
+    rows.foreach { r =>
+      val (bp, n, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept <= n)
+      if (bp == 10000L) assert(kept == n, "quota 100% must keep everything")
+    }
+    // deterministic: a second run keeps the identical counts
+    val again = Dedup.d8MixtureSample(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("d9 decontamination flags the planted benchmark near-dups") {
+    val flagged = Dedup.d9Decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.nonEmpty, "corpus should contain benchmark-overlapping docs")
+    assert(flagged.keys.forall(_ >= 20), "benchmark docs must not flag themselves")
+    assert(flagged.values.forall(_ >= Dedup.ContamThreshold))
+    // any d4-verified near-dup of a benchmark doc must be flagged
+    val nearDups = Dedup.d4NgramJaccard(spark, sf)
+      .filter(col("jaccard") > 0.9 && col("doc_a") < 20 && col("doc_b") >= 20)
+      .select("doc_b").collect().map(_.getLong(0))
+    nearDups.foreach(d => assert(flagged.contains(d),
+      s"near-dup $d of a benchmark doc escaped decontamination"))
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString
