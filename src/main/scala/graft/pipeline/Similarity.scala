@@ -227,15 +227,101 @@ object Similarity {
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cluster, cosine
        |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --- s4_sq_ann: scalar-quantized candidates + exact re-rank -------------
+  // The memory-side scale path: int8-style scalar quantization (per-vector
+  // scale = 127/max|x|) shrinks the resident vector set 4-8x; candidate
+  // generation runs on exact INTEGER dot products of the quantized codes
+  // (bit-exact on any engine, no float-order concerns), and only the
+  // top-C=20 candidates per query are re-ranked with the exact double
+  // cosine. Complements s2 (hash buckets) and s3 (inverted lists) as the
+  // third standard ANN architecture.
+  val SqCandidates = 20
+
+  /** vectors + quantized codes. qscale guarded so all-zero vectors
+    * quantize to zeros rather than NaN.
+    */
+  def quantized(s: SparkSession, dir: String): DataFrame =
+    normed(s, dir)
+      .withColumn("maxabs", expr("array_max(transform(emb, x -> abs(x)))"))
+      .withColumn("qscale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(lit(0.0)))
+      .withColumn("qvec", expr("transform(emb, x -> CAST(round(x * qscale) AS BIGINT))"))
+      .select("vec_id", "emb", "norm", "qvec")
+
+  val quantizedSql: String =
+    """quant AS (
+      |  SELECT vec_id, emb, norm,
+      |    list_transform(emb, x -> CAST(round(x * qscale) AS BIGINT)) AS qvec
+      |  FROM (
+      |    SELECT vec_id, emb, norm,
+      |      CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS qscale
+      |    FROM (
+      |      SELECT vec_id, emb, norm,
+      |        list_max(list_transform(emb, x -> abs(x))) AS maxabs
+      |      FROM normed))
+      |)""".stripMargin
+
+  /** Exact integer dot of two quantized codes (codegen'd unrolled sum). */
+  private def qdot(a: Column, b: Column): Column =
+    (1 to Dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  def s4SqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val q = e.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+              col("norm").as("qn"), col("qvec").as("qq"))
+    val wCand = Window.partitionBy("q_id").orderBy(col("qdot").desc, col("vec_id"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qdot", qdot(col("qvec"), col("qq")))
+      .withColumn("crnk", row_number().over(wCand))
+      .filter(col("crnk") <= SqCandidates)
+      .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+              col("qdot"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val s4Sql: String = {
+    val qdotSql =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(range(1, 65), i -> e.qvec[i] * q.qvec[i])),
+        |  (a, b) -> a + b)""".stripMargin
+    s"""WITH $normedSql, $quantizedSql,
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id, e.emb, e.norm,
+       |      q.emb AS qe, q.norm AS qn,
+       |      $qdotSql AS qdot,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                         ORDER BY $qdotSql DESC, e.vec_id) AS crnk
+       |    FROM quant e JOIN quant q
+       |      ON q.vec_id >= 200 AND q.vec_id < 205 AND e.vec_id <> q.vec_id)
+       |  WHERE crnk <= $SqCandidates),
+       |ranked AS (
+       |  SELECT q_id, vec_id AS neighbor_id, qdot,
+       |    ${cosineSql("qe", "emb", "qn", "norm")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |      ${cosineSql("qe", "emb", "qn", "norm")} DESC, vec_id) AS rnk
+       |  FROM cand)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, qdot, cosine
+       |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_lsh_ann" -> (s2LshAnn _),
     "s3_ivf_ann" -> (s3IvfAnn _),
+    "s4_sq_ann" -> (s4SqAnn _),
   )
 
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" -> s1Sql,
     "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql,
+    "s4_sq_ann" -> s4Sql,
   )
 }

@@ -85,6 +85,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("s4 quantized ANN recovers the exact top-3 (20 int8 candidates suffice)") {
+    val e = Similarity.normed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Double]]("emb").toArray, r.getAs[Double]("norm"))).toSeq
+    val got = Similarity.s4SqAnn(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq)
+    (200L until 205L).foreach { qid =>
+      val (_, qe, qn) = e.find(_._1 == qid).get
+      val exact = e.filter(_._1 != qid)
+        .map { case (id, v, n) =>
+          (id, qe.zip(v).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y } / (qn * n))
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      assert(got(qid) == exact.toSeq,
+        s"quantized candidates missed exact neighbors for query $qid")
+    }
+  }
+
   test("t5 top terms: scores are per-doc descending and tf/df consistent") {
     val rows = TextAnalysis.t5TopTerms(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
