@@ -564,6 +564,37 @@ object Relational {
       |WHERE o_custkey < 200
       |ORDER BY o_custkey, day_idx, o_orderkey""".stripMargin
 
+  // --- q23_median: exact positional median per group ----------------------
+  // Exact median = the middle value(s) by position, not an interpolated
+  // quantile — engines disagree on interpolated quantiles but positional
+  // selection is bit-exact: rank rows, keep positions (n+1)/2 and
+  // (n+2)/2 (equal when n is odd), average them (a 1-or-2-element sum —
+  // IEEE addition of two values is commutative, so order-free). One
+  // window shuffle per group. At 100 TB the approximate path is
+  // percentile_approx over the same plan; this is the exact path.
+  def q23Median(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy("event_type")
+      .agg((sum(col("value")) / count(lit(1))).as("median_value"),
+           max(col("n")).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val q23Sql: String =
+    """SELECT event_type, SUM(value) / COUNT(*) AS median_value,
+      |  MAX(n) AS n_events
+      |FROM (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Registry consumed by SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
@@ -588,6 +619,7 @@ object Relational {
     "q20_above_avg" -> (q20AboveAvg _),
     "q21_grouping_sets" -> (q21GroupingSets _),
     "q22_range_window" -> (q22RangeWindow _),
+    "q23_median" -> (q23Median _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -613,5 +645,6 @@ object Relational {
     "q20_above_avg" -> q20Sql,
     "q21_grouping_sets" -> q21Sql,
     "q22_range_window" -> q22Sql,
+    "q23_median" -> q23Sql,
   )
 }

@@ -69,6 +69,19 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
 
+  test("q23 exact median matches a JVM-side sort for every group") {
+    val got = Relational.q23Median(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val byType = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+    byType.foreach { case (t, rows) =>
+      val v = rows.map(_.getDouble(1)).sorted
+      val n = v.length
+      val expect = (v((n - 1) / 2) + v(n / 2)) / 2
+      assert(got(t) == expect, s"median mismatch for $t")
+    }
+  }
+
   test("q21 grouping sets: marginals and grand total reconcile") {
     val rows = Relational.q21GroupingSets(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
