@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.arrays.HashRing
-import graft.plans.{RingLookup, RingTable}
+import graft.plans.{RingLookup, RingReplicas, RingTable}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * {{{
   *   SELECT graft_gen_key(k)            -- ring hash position of a key
   *   SELECT graft_ring_place(graft_gen_key(k))  -- owning node, current ring
+  *   SELECT graft_ring_replicas(graft_gen_key(k))  -- 3-node failover list
   * }}}
   *
   * This is the preference-order-(c) integration path from SURVEY §2:
@@ -35,5 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RingLookup].getName, "graft_ring_place"),
       (args: Seq[Expression]) =>
         RingLookup(unary("graft_ring_place")(args), new RingTable(HashRing.current))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_ring_replicas"),
+      new ExpressionInfo(classOf[RingReplicas].getName, "graft_ring_replicas"),
+      (args: Seq[Expression]) =>
+        RingReplicas(unary("graft_ring_replicas")(args),
+          new RingTable(HashRing.current), 3)))
   }
 }

@@ -49,9 +49,13 @@ class StoreAndExtensionsSpec extends SparkSpec {
     SparkSession.setActiveSession(spark)
     val rows = sess.sql(
       "SELECT graft_ring_place(graft_gen_key('click/0-0')) AS node, " +
-      "graft_gen_key('click/0-0') AS h").collect()
+      "graft_gen_key('click/0-0') AS h, " +
+      "graft_ring_replicas(graft_gen_key('click/0-0')) AS reps").collect()
     assert(rows.head.getAs[String]("node") == HashRing.current.getNode("click/0-0"))
     assert(rows.head.getAs[Long]("h") == HashRing.current.genKey("click/0-0"))
+    val reps = rows.head.getSeq[String](2)
+    assert(reps.head == HashRing.current.getNode("click/0-0") &&
+           reps.toSet == HashRing.currentNodes.toSet)
   }
 
   test("patchPartition rewrites only the target array's partition") {
