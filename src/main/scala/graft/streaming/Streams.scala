@@ -219,12 +219,63 @@ object Streams {
        |SELECT coll, array_id, i0, i1, value FROM cells
        |ORDER BY array_id, i0, i1""".stripMargin
 
+  // --- st6_stream_throttle: stateful flow control (429) in streaming -----
+  /** Per-user throttle summary: same semantics as the batch rate limiter
+    * (ArrayOps.a18RateLimit — per-(user, day) cap of RateCap, ordered by
+    * (ts, event_id)), computed as per-key state so it runs under
+    * mapGroupsWithState on a stream: state = per-day counts, emission =
+    * (n_requests, n_throttled). The shared kernel keeps batch and
+    * streaming bit-identical.
+    */
+  /** Per-day request counts for one user's events ((ts_us, event_id)).
+    * This is the streaming STATE shape: maps merge across micro-batches
+    * (a day split over two batches still counts once), so batch and
+    * streaming agree for any batch boundary.
+    */
+  def perDayCounts(events: Iterator[(Long, Long)]): Map[Long, Long] = {
+    val perDay = scala.collection.mutable.LongMap.empty[Long]
+    events.foreach { case (tsUs, _) =>
+      val d = tsUs / 86400000000L
+      perDay(d) = perDay.getOrElse(d, 0L) + 1
+    }
+    perDay.toMap
+  }
+
+  def mergeDayCounts(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+    b.foldLeft(a) { case (m, (d, c)) => m.updated(d, m.getOrElse(d, 0L) + c) }
+
+  /** (n_requests, n_throttled) from merged per-day counts. */
+  def throttleTotals(perDay: Map[Long, Long]): (Long, Long) =
+    (perDay.values.sum,
+     perDay.values.map(c => math.max(0L, c - graft.arrays.ArrayOps.RateCap)).sum)
+
+  def st6StreamThrottle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k: Long, it: Iterator[(Long, Long, Long)]) =>
+        val (n, thr) = throttleTotals(perDayCounts(it.map(e => (e._2, e._3))))
+        (k, n, thr)
+      }
+      .toDF("user_id", "n_requests", "n_throttled")
+      .filter(col("n_throttled") > 0)
+      .orderBy("user_id")
+  }
+
+  /** Oracle: identical to the batch rate limiter's (the two operators are
+    * the same contract on two execution paths).
+    */
+  val st6Sql: String = graft.arrays.ArrayOps.a18Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> (st1StreamWindow _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stream_session" -> (st3StreamSession _),
     "st4_stream_join" -> (st4StreamJoin _),
     "st5_stream_grid_build" -> (st5StreamGridBuild _),
+    "st6_stream_throttle" -> (st6StreamThrottle _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,5 +284,6 @@ object Streams {
     "st3_stream_session" -> st3Sql,
     "st4_stream_join" -> st4Sql,
     "st5_stream_grid_build" -> st5Sql,
+    "st6_stream_throttle" -> st6Sql,
   )
 }

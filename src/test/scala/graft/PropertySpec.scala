@@ -51,6 +51,17 @@ object GraftProperties extends Properties("graft") {
       HashRing.current.getNode(k)
   }
 
+  // RingReplicas must agree with a naive reference walk: sort keys, start
+  // at the successor, collect first-k distinct nodes clockwise
+  property("ring.replicasMatchNaiveWalk") = Prop.forAll(keyGen) { k =>
+    val h = HashRing.current.genKey(k)
+    val entries = HashRing.current.canonical
+    val (after, before) = entries.partition(_._1 > h)
+    val naive = (after ++ before).map(_._2).distinct.take(3)
+    val got = currentTable.replicasData(h, 3)
+    (0 until got.numElements()).map(i => got.getUTF8String(i).toString) == naive
+  }
+
   // Det.scala's tie contract: double->decimal(18,4) ties (dyadic values
   // like 0.03125 = 1/32) round half-away-from-zero in Spark; DuckDB was
   // verified to do the same (0.03125 -> 0.0313, -0.03125 -> -0.0313).

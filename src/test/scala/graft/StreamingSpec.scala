@@ -100,6 +100,40 @@ class StreamingSpec extends SparkSpec {
       "streaming grid ingest != batch cells derivation")
   }
 
+  test("st6: mapGroupsWithState throttling equals the batch rate limiter") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val stream = Streams.readEventsStream(spark, eventsDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[Map[Long, Long]]) => {
+          // state = per-day counts, merged across micro-batches
+          val merged = Streams.mergeDayCounts(
+            state.getOption.getOrElse(Map.empty),
+            Streams.perDayCounts(it.map(e => (e._2, e._3))))
+          state.update(merged)
+          val (n, thr) = Streams.throttleTotals(merged)
+          (k, n, thr)
+        })
+      .toDF("user_id", "n_requests", "n_throttled")
+    val q = stream.writeStream.format("memory").queryName("st6_mem")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st6_mem").filter(col("n_throttled") > 0)
+    val batch = Streams.st6StreamThrottle(spark, sf)
+    val batchA18 = graft.arrays.ArrayOps.a18RateLimit(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "streaming throttle state != batch throttle")
+    assert(batch.except(batchA18).count() == 0 &&
+           batchA18.except(batch).count() == 0,
+      "typed stateful throttle != window-based rate limiter")
+  }
+
   test("st2: streaming dropDuplicates keeps one row per key") {
     val stream = Streams.readEventsStream(spark, eventsDir)
     val q = Streams.streamingDedupTransform(stream)
