@@ -5,13 +5,18 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2-C deduplication family over `documents` / `embeddings`.
+/** §2-C deduplication / corpus-curation family over `documents` /
+  * `embeddings`.
   *
-  * Scale story: d1 is a single hash-agg; d2 (MinHash+LSH) generates
-  * candidates by band-bucket equi-join so exact verification never goes
-  * O(n²); d3 reduces each doc to a 32-bit sketch (constant state per doc);
-  * d4 restricts exact Jaccard to pairs sharing >=1 shingle; d5 is the
-  * exact-verify stage a bucketed ANN (s2) would feed at scale.
+  * Scale story: d1/d6 are single hash-aggs (exact and canonicalized); d2
+  * (MinHash+LSH) generates candidates by band-bucket equi-join so exact
+  * verification never goes O(n²); d3 reduces each doc to a 32-bit sketch
+  * (constant state per doc); d4 restricts exact Jaccard to pairs sharing
+  * >=1 shingle; d5 is the exact-verify stage a bucketed ANN (s2) would
+  * feed at scale; d7 assembles candidate pairs into duplicate groups by
+  * min-label propagation; d8 samples a target domain mixture with a
+  * shuffle-free hash threshold; d9 decontaminates against a broadcast
+  * benchmark shingle set.
   */
 object Dedup {
 
