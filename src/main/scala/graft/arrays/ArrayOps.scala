@@ -512,6 +512,49 @@ object ArrayOps {
        |FROM all_cells WHERE coll <> '$CorpusColl'
        |GROUP BY coll, array_id ORDER BY coll, array_id""".stripMargin
 
+  // --- a21_subset_read_3d: n-dimensional slice semantics ------------------
+  // Deker arrays are n-dimensional; the long-form encoding extends by one
+  // index column per dimension with the same pruning story (sorted layout
+  // → row-group skip per dim). 3-D here: (day, user bucket, hour-of-day),
+  // bounds on all three dims, derived on the fly from events (the
+  // derivation is itself one map-side-combined agg).
+  def cells3(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        col("event_type").as("array_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).cast("long").as("i0"),
+        pmod(col("user_id"), lit(Dim1Size)).cast("long").as("i1"),
+        hour(col("ts")).cast("long").as("i2"))
+      .agg(Det.dsum(col("value")).as("value"))
+      .filter(col("i0") >= 0)
+
+  val cells3Sql: String =
+    s"""cells3 AS (
+       |  SELECT event_type AS array_id,
+       |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS i0,
+       |    CAST(((user_id % $Dim1Size) + $Dim1Size) % $Dim1Size AS BIGINT) AS i1,
+       |    CAST(hour(ts) AS BIGINT) AS i2,
+       |    ${Det.sqlDsum("value")} AS value
+       |  FROM events GROUP BY 1, 2, 3, 4
+       |  HAVING i0 >= 0
+       |)""".stripMargin
+
+  def a21SubsetRead3d(s: SparkSession, dir: String): DataFrame =
+    cells3(s, dir)
+      .filter(col("array_id") === "view" &&
+              col("i0") >= 5 && col("i0") < 10 &&
+              col("i1") >= 0 && col("i1") < 8 &&
+              col("i2") >= 6 && col("i2") < 18)
+      .select("array_id", "i0", "i1", "i2", "value")
+      .orderBy("i0", "i1", "i2")
+
+  val a21Sql: String =
+    s"""WITH $cells3Sql
+       |SELECT array_id, i0, i1, i2, value FROM cells3
+       |WHERE array_id = 'view' AND i0 >= 5 AND i0 < 10
+       |  AND i1 >= 0 AND i1 < 8 AND i2 >= 6 AND i2 < 18
+       |ORDER BY i0, i1, i2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
@@ -533,6 +576,7 @@ object ArrayOps {
     "a18_rate_limit" -> (a18RateLimit _),
     "a19_list_collections" -> (a19ListCollections _),
     "a20_collection_delete" -> (a20CollectionDelete _),
+    "a21_subset_read_3d" -> (a21SubsetRead3d _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -556,5 +600,6 @@ object ArrayOps {
     "a18_rate_limit" -> a18Sql,
     "a19_list_collections" -> a19Sql,
     "a20_collection_delete" -> a20Sql,
+    "a21_subset_read_3d" -> a21Sql,
   )
 }
