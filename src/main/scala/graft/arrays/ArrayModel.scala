@@ -106,7 +106,7 @@ object ArrayModel {
     s"""corpus_cells AS (
        |  SELECT '$CorpusColl' AS coll, source AS array_id,
        |    CAST(doc_id // 100 AS BIGINT) AS i0,
-       |    CAST(doc_id % $Dim1Size AS BIGINT) AS i1,
+       |    CAST(((doc_id % $Dim1Size) + $Dim1Size) % $Dim1Size AS BIGINT) AS i1,
        |    CAST(SUM(n_chars) AS DOUBLE) AS value
        |  FROM documents GROUP BY 1, 2, 3, 4
        |)""".stripMargin

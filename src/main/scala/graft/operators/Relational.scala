@@ -337,7 +337,7 @@ object Relational {
     """SELECT COUNT(*) AS n_ids, MIN(id) AS min_id, MAX(id) AS max_id FROM (
       |  SELECT user_id AS id FROM events WHERE value > 400
       |  UNION
-      |  SELECT o_custkey % 150 AS id FROM orders WHERE o_totalprice > 400000
+      |  SELECT ((o_custkey % 150) + 150) % 150 AS id FROM orders WHERE o_totalprice > 400000
       |) t""".stripMargin
 
   // --- q15_skew_agg: salted two-stage aggregation -------------------------
@@ -421,13 +421,13 @@ object Relational {
   }
 
   val q17Sql: String =
-    s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
+    s"""SELECT ((CAST(json_extract(props, '$$.k') AS BIGINT) % 10) + 10) % 10 AS k_bucket,
        |  COUNT(*) AS n_events,
        |  ${Det.sqlDsum("value")} AS total_value,
        |  MIN(CAST(json_extract(props, '$$.k') AS BIGINT)) AS min_k,
        |  MAX(CAST(json_extract(props, '$$.k') AS BIGINT)) AS max_k
        |FROM events
-       |GROUP BY CAST(json_extract(props, '$$.k') AS BIGINT) % 10
+       |GROUP BY ((CAST(json_extract(props, '$$.k') AS BIGINT) % 10) + 10) % 10
        |ORDER BY k_bucket""".stripMargin
 
   // --- q18_part_supplier: snowflake over the remaining dims ---------------
