@@ -7,6 +7,37 @@ import org.apache.spark.sql.functions._
 
 class StoreAndExtensionsSpec extends SparkSpec {
 
+  test("bucketed co-located join: zero shuffle on either side (the SURVEY §5 claim)") {
+    // bucket both sides of the fact-fact join on the join key: at 100 TB
+    // this is how a repeated lineitem-orders join avoids shuffling either
+    // table — Spark reads matching buckets pair-wise. Assert the physical
+    // plan has NO exchange once the tables are bucketed.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS l_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("l_bucketed")
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("o_bucketed")
+      val j = spark.table("l_bucketed").join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      val expected = Tables.lineitem(spark, sf).join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == expected, "bucketed join changed the result")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS l_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
   test("stored cells round-trip the derivation exactly (no loss through the layout)") {
     val derived = ArrayModel.cells(spark, sf)
     val stored = ArrayModel.cellsStored(spark, sf)
