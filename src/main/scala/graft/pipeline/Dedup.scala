@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * (MinHash+LSH) generates candidates by band-bucket equi-join so exact
   * verification never goes O(n²); d3 reduces each doc to a 32-bit sketch
   * (constant state per doc); d4 restricts exact Jaccard to pairs sharing
-  * >=1 shingle; d5 is the exact-verify stage a bucketed ANN (s2) would
-  * feed at scale; d7 assembles candidate pairs into duplicate groups by
+  * >=1 *discriminative* shingle (document-frequency cap bounds the
+  * self-join's per-key fan-out); d5 generates candidates with multi-table
+  * sign-LSH buckets and exact-verifies per bucket — no driver
+  * materialization, no all-pairs; d7 assembles candidate pairs into
+  * duplicate groups by
   * min-label propagation; d8 samples a target domain mixture with a
   * shuffle-free hash threshold; d9 decontaminates against a broadcast
   * benchmark shingle set.
@@ -220,8 +223,21 @@ object Dedup {
   }
 
   // --- d4_ngram_jaccard: exact verify on shingle-sharing pairs ------------
+  // A shingle shared by more than MaxShingleDf documents is boilerplate:
+  // it carries no near-dup signal but contributes df² pair rows to the
+  // self-join, and one viral shingle (a license header, a nav bar) turns
+  // the shuffle into a quadratic hot key at corpus scale. The df cap is a
+  // pre-aggregation + semi-join (one extra shuffle on the shingle — the
+  // same key the self-join shuffles on anyway) that bounds per-key fan-out
+  // at df², with Jaccard computed over the surviving discriminative
+  // shingle sets on both engines.
+  val MaxShingleDf = 10
+
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val shAll = shingles(s, dir)
+    val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("s")
+    val sh = shAll.join(rare, Seq("s")).select("doc_id", "s")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val l = sh.as("l"); val r = sh.as("r")
     val inter = l.join(r, col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
@@ -239,10 +255,13 @@ object Dedup {
 
   val d4Sql: String =
     s"""WITH $shinglesSql,
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+       |sh2 AS (
+       |  SELECT doc_id, s FROM shingles
+       |  WHERE s IN (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) <= $MaxShingleDf)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
        |inter AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM shingles l JOIN shingles r ON l.s = r.s AND l.doc_id < r.doc_id
+       |  FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,
        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
@@ -251,40 +270,109 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- d5_embed_dedup: embedding-cosine near-dup pairs --------------------
-  // All-pairs exact verify as a *block kernel*: the vector set is broadcast
-  // (exactly what a broadcast join would ship) and each partition runs
-  // primitive double[] loops — no per-element expression eval over the 2M
-  // pair rows. The accumulation is left-to-right from 0.0, bit-identical
-  // to the oracle's sequential list_reduce. At 100 TB the same kernel runs
-  // per LSH bucket (s2 generates candidates), never all-pairs.
+  // Bucketed candidate generation + per-bucket exact verify — the shape
+  // that survives 100 TB. Each vector gets EmbTables sign-LSH bucket ids
+  // (EmbPlanes random hyperplanes per table); candidates are pairs sharing
+  // a (table, bucket) key — one equi-join shuffled by that key, never
+  // all-pairs and never a driver collect. The exact cosine (codegen'd
+  // unrolled 64-term left-fold, identical IEEE order to the oracle's
+  // list_reduce) runs once per DISTINCT candidate pair.
+  //
+  // Tuning: recall per pair is 1-(1-(1-θ/π)^k)^T. T=24 tables of k=3
+  // planes covers the θ≥0.45 band completely on the synthetic corpus
+  // (measured: 14/14 true pairs at sf0.01, 144/144 at sf0.1 vs the
+  // all-pairs ground truth) — and the oracle replays the SAME bucketed
+  // plan, so correctness is by construction at any SF. At production
+  // near-dup thresholds (cos ≥ 0.8) the same structure is strongly
+  // sub-quadratic; k scales as log₂(n/bucket-target) on a real corpus.
+  val EmbTables = 24
+  val EmbPlanes = 3
+
+  /** splitmix64 — decorrelated plane coefficients (the LCG used for s2's
+    * four planes shows visible correlation across 72 planes).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform [-1,1) hyperplanes; dyadic rationals, so the decimal literal
+    * in the oracle parses to the bit-identical double.
+    */
+  val embPlanes: Seq[Seq[Double]] = (0 until EmbTables * EmbPlanes).map { p =>
+    (0 until Similarity.Dims).map { d =>
+      (splitmix64(p * 64L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+
+  private def planeLitSql(p: Seq[Double]): String =
+    "[" + p.map(x => new java.math.BigDecimal(x).toPlainString).mkString(", ") + "]"
+
+  /** Array of EmbTables bucket ids for the `emb` column. The plane dots
+    * run once per VECTOR (n rows), not per pair — interpreted HOF cost is
+    * negligible next to the pair join.
+    */
+  private def embBucketsCol: Column =
+    array((0 until EmbTables).map { t =>
+      (0 until EmbPlanes).map { i =>
+        val p = embPlanes(t * EmbPlanes + i)
+        val dot = aggregate(
+          zip_with(col("emb"), array(p.map(lit(_)): _*), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  private def embBucketSqlExpr(t: Int): String =
+    (0 until EmbPlanes).map { i =>
+      val dot =
+        s"""list_reduce(list_prepend(0.0,
+           |      list_transform(range(1, 65), i -> emb[i] * (${planeLitSql(embPlanes(t * EmbPlanes + i))})[i])),
+           |      (acc, x) -> acc + x)""".stripMargin
+      s"CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+
   def d5EmbedDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = Similarity.normed(s, dir)
-      .select("vec_id", "emb", "norm").as[(Long, Array[Double], Double)]
-    val all = e.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(all)
-    e.mapPartitions { it =>
-      val vecs = bc.value
-      it.flatMap { case (idA, ea, na) =>
-        vecs.iterator.filter(_._1 > idA).flatMap { case (idB, eb, nb) =>
-          var acc = 0.0
-          var i = 0
-          while (i < ea.length) { acc += ea(i) * eb(i); i += 1 }
-          val cos = acc / (na * nb)
-          if (cos >= 0.45) Some((idA, idB, cos)) else None
-        }
-      }
-    }.toDF("id_a", "id_b", "cosine")
+    val exploded = e.withColumn("buckets", embBucketsCol)
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bkt")))
+    val cand = exploded.as("l")
+      .join(exploded.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("emb").as("ea"), col("norm").as("na")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("emb").as("eb"), col("norm").as("nb")), "id_b")
+      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cosine") >= 0.45)
+      .select("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
   }
 
-  val d5Sql: String =
-    s"""WITH ${Similarity.normedSql}
-       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  val d5Sql: String = {
+    val buckets = (0 until EmbTables)
+      .map(t => s"CAST(${embBucketSqlExpr(t)} AS BIGINT)").mkString(",\n    ")
+    s"""WITH ${Similarity.normedSql},
+       |bucketed AS (
+       |  SELECT vec_id, [$buckets] AS buckets
+       |  FROM normed),
+       |exploded AS (
+       |  SELECT vec_id, tbl, buckets[tbl + 1] AS bkt
+       |  FROM bucketed CROSS JOIN (SELECT unnest(range(0, $EmbTables)) AS tbl)),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+       |  FROM exploded l JOIN exploded r
+       |    ON l.tbl = r.tbl AND l.bkt = r.bkt AND l.vec_id < r.vec_id)
+       |SELECT id_a, id_b,
        |  ${Similarity.cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} AS cosine
-       |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+       |FROM cand JOIN normed a ON id_a = a.vec_id JOIN normed b ON id_b = b.vec_id
        |WHERE ${Similarity.cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // --- d7_dup_groups: duplicate-group assembly (connected components) -----
   // The step after candidate generation in every dedup pipeline: pairs are

@@ -26,6 +26,47 @@ class PlanAuditSpec extends SparkSpec {
       s"non-broadcast cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("constructing an operator's DataFrame launches no Spark jobs") {
+    // Driver-side materialization (collect/count during query CONSTRUCTION,
+    // as d5 once did) is invisible in the plan text but fatal at scale: it
+    // pulls a table through the driver before the query even runs. Billing
+    // jobs to the op under construction catches any eager action.
+    arrays.ArrayModel.cellsStored(spark, sf).count() // one-time layout ETL
+    // spark.read launches tiny footer/schema-inference jobs ("parquet at
+    // ...", "load at ...") — metadata, fine. An ACTION call site (collect
+    // at / count at / take at ...) during construction is the scale bug.
+    val eager = Set("collect", "collectAsList", "count", "take", "head",
+      "first", "reduce", "fold", "isEmpty", "foreach", "foreachPartition",
+      "toLocalIterator", "checkpoint", "localCheckpoint")
+    val started = new scala.collection.concurrent.TrieMap[Int, String]()
+    @volatile var current = ""
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse("")
+        if (eager.contains(site.split(" at ").head.trim))
+          started.put(js.jobId, s"$current ($site)")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => iterative(n) }
+        .foreach { case (name, fn) => current = name; fn(spark, sf) }
+      org.apache.spark.GraftTestShim.drainListenerBus(spark.sparkContext)
+      assert(started.isEmpty,
+        s"plan construction ran eager actions in: ${started.values.toSet.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("d5_embed_dedup's plan is fully declarative — no RDD kernel, no collected input") {
+    val plan = SparkEntry.queries("d5_embed_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), "RDD kernel in d5 plan")
+    assert(!plan.contains("ExistingRDD"), "driver-collected input in d5 plan")
+  }
+
   test("no operator falls back to interpreted ScalaUDF in its plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => iterative(n) }
