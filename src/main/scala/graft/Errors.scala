@@ -25,4 +25,8 @@ object Errors {
     if (b0._1 < 0 || b1._1 < 0)
       throw new GraftBoundsError(s"bounds must be non-negative: got $b0, $b1")
   }
+
+  def requireStep(step: Long): Unit =
+    if (step < 1)
+      throw new GraftBoundsError(s"slice step must be >= 1: got $step")
 }

@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   * partition pruning + row-group skipping, never a shuffle.
   *
   * VArray view: each array doubles as a VArray (`vid` = array_id) tiled
-  * into TILE0-day × full-width tiles; `v_position` = (i0 / TILE0, 0),
-  * mirroring utils/hashing.py:17 `v_position` semantics.
+  * into a true n-dim vgrid of TILE0-day × TILE1-bucket tiles;
+  * `v_position` = (i0 / TILE0, i1 / TILE1), and the primary-attribute key
+  * joins every vgrid coordinate with '-' exactly like utils/hashing.py:17
+  * (`"-".join(v_position)`).
   */
 object ArrayModel {
   val Coll = "weather"
   val Dim1Size = 16   // user buckets
   val Tile0 = 10      // vgrid tile extent along dim 0
+  val Tile1 = 8       // vgrid tile extent along dim 1 (2 tiles across)
 
   /** Long-form cell table: one row per populated cell. */
   def cells(s: SparkSession, dir: String): DataFrame =
@@ -145,15 +148,16 @@ object ArrayModel {
     cellsStored(s, dir)
       .select(col("array_id").as("vid"),
               (col("i0") / Tile0).cast("long").as("v0"),
-              lit(0L).as("v1"))
+              (col("i1") / Tile1).cast("long").as("v1"))
       .distinct()
       .withColumn("hash_key", concat(col("vid"), lit("/"), col("v0"), lit("-"), col("v1")))
 
   val tilesSql: String =
     s"""tiles AS (
        |  SELECT DISTINCT array_id AS vid, CAST(i0 // $Tile0 AS BIGINT) AS v0,
-       |    CAST(0 AS BIGINT) AS v1,
-       |    array_id || '/' || CAST(i0 // $Tile0 AS BIGINT) || '-0' AS hash_key
+       |    CAST(i1 // $Tile1 AS BIGINT) AS v1,
+       |    array_id || '/' || CAST(i0 // $Tile0 AS BIGINT) || '-' ||
+       |      CAST(i1 // $Tile1 AS BIGINT) AS hash_key
        |  FROM cells
        |)""".stripMargin
 }

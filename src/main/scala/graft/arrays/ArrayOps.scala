@@ -23,13 +23,30 @@ object ArrayOps {
   // --- a2_subset_read: read_data(array, bounds) (base.py:225-270) ---------
   // bounds = [5:15, 2:10] on array 'click'. On partitioned+sorted storage
   // this is pruning + row-group skip; the filter reaches the scan.
-  def sliceRead(c: DataFrame, arrayId: String,
-                b0: (Long, Long), b1: (Long, Long)): DataFrame = {
-    graft.Errors.requireBounds(b0, b1)
-    c.filter(col("array_id") === arrayId &&
-             col("i0") >= b0._1 && col("i0") < b0._2 &&
-             col("i1") >= b1._1 && col("i1") < b1._2)
+
+  /** One dimension of a bounds request: `[lo, hi)` every `step`-th index —
+    * the full `arr[lo:hi:step]` slice the reference accepts through
+    * slice_converter (base.py:236, base.py:279), not just the contiguous
+    * form. The range bounds drive partition pruning / row-group skipping;
+    * the stride is one extra cheap predicate evaluated at the scan.
+    */
+  final case class Dim(lo: Long, hi: Long, step: Long = 1L)
+
+  def sliceRead(c: DataFrame, arrayId: String, d0: Dim, d1: Dim): DataFrame = {
+    graft.Errors.requireBounds((d0.lo, d0.hi), (d1.lo, d1.hi))
+    graft.Errors.requireStep(d0.step); graft.Errors.requireStep(d1.step)
+    val base = col("array_id") === arrayId &&
+      col("i0") >= d0.lo && col("i0") < d0.hi &&
+      col("i1") >= d1.lo && col("i1") < d1.hi
+    val strided = Seq((col("i0"), d0), (col("i1"), d1)).collect {
+      case (i, d) if d.step > 1 => pmod(i - d.lo, lit(d.step)) === 0
+    }
+    c.filter(strided.foldLeft(base)(_ && _))
   }
+
+  def sliceRead(c: DataFrame, arrayId: String,
+                b0: (Long, Long), b1: (Long, Long)): DataFrame =
+    sliceRead(c, arrayId, Dim(b0._1, b0._2), Dim(b1._1, b1._2))
 
   /** Flow-controlled subset read: the client-side pattern the reference
     * prescribes after CONTENT_TOO_LARGE ("use smaller subset",
@@ -38,23 +55,32 @@ object ArrayOps {
     * Each chunk is bounded work; the union is a no-shuffle concatenation.
     * `maxCells` models the server's data-points limit.
     */
-  def chunkedSliceRead(c: DataFrame, arrayId: String,
-                       b0: (Long, Long), b1: (Long, Long),
-                       maxCells: Long = Long.MaxValue): DataFrame = {
-    graft.Errors.requireBounds(b0, b1)
-    val span1 = b1._2 - b1._1
-    // overflow-free "span0 * span1 <= maxCells" (the product of two valid
-    // bounds spans can exceed Long.MaxValue)
-    if (span1 == 0 || (b0._2 - b0._1) <= maxCells / span1)
-      sliceRead(c, arrayId, b0, b1)
+  def chunkedSliceRead(c: DataFrame, arrayId: String, d0: Dim, d1: Dim,
+                       maxCells: Long): DataFrame = {
+    graft.Errors.requireBounds((d0.lo, d0.hi), (d1.lo, d1.hi))
+    graft.Errors.requireStep(d0.step); graft.Errors.requireStep(d1.step)
+    // selected-index counts per dim (ceil of span/step); overflow-free
+    // "rows0 * rows1 <= maxCells" (the product of two valid bounds spans
+    // can exceed Long.MaxValue)
+    val rows1 = (d1.hi - d1.lo + d1.step - 1) / d1.step
+    val rows0 = (d0.hi - d0.lo + d0.step - 1) / d0.step
+    if (rows1 == 0 || rows0 <= maxCells / math.max(1L, rows1))
+      sliceRead(c, arrayId, d0, d1)
     else {
-      val step = math.max(1L, maxCells / math.max(1L, span1))
-      val chunks = (b0._1 until b0._2 by step).map { lo =>
-        sliceRead(c, arrayId, (lo, math.min(lo + step, b0._2)), b1)
+      // chunk extents are multiples of d0.step, so every chunk's stride
+      // phase stays anchored at the request's lo
+      val chunk = math.max(1L, maxCells / math.max(1L, rows1)) * d0.step
+      val chunks = (d0.lo until d0.hi by chunk).map { lo =>
+        sliceRead(c, arrayId, Dim(lo, math.min(lo + chunk, d0.hi), d0.step), d1)
       }
       chunks.reduce(_ unionByName _)
     }
   }
+
+  def chunkedSliceRead(c: DataFrame, arrayId: String,
+                       b0: (Long, Long), b1: (Long, Long),
+                       maxCells: Long = Long.MaxValue): DataFrame =
+    chunkedSliceRead(c, arrayId, Dim(b0._1, b0._2), Dim(b1._1, b1._2), maxCells)
 
   def a2SubsetRead(s: SparkSession, dir: String): DataFrame =
     sliceRead(cellsStored(s, dir), "click", (5L, 15L), (2L, 10L))
@@ -71,13 +97,21 @@ object ArrayOps {
   // Copy-on-write patch: a narrow map-side CASE WHEN — no shuffle, no
   // driver collect. Patch grid value = i0*16+i1 (a deterministic payload
   // standing in for the request body).
-  def patch(c: DataFrame, arrayId: String,
-            b0: (Long, Long), b1: (Long, Long), data: Column): DataFrame = {
+  def patch(c: DataFrame, arrayId: String, d0: Dim, d1: Dim,
+            data: Column): DataFrame = {
+    graft.Errors.requireStep(d0.step); graft.Errors.requireStep(d1.step)
     val inBounds = col("array_id") === arrayId &&
-      col("i0") >= b0._1 && col("i0") < b0._2 &&
-      col("i1") >= b1._1 && col("i1") < b1._2
-    c.withColumn("value", when(inBounds, data).otherwise(col("value")))
+      col("i0") >= d0.lo && col("i0") < d0.hi &&
+      col("i1") >= d1.lo && col("i1") < d1.hi
+    val onStride = Seq((col("i0"), d0), (col("i1"), d1)).collect {
+      case (i, d) if d.step > 1 => pmod(i - d.lo, lit(d.step)) === 0
+    }.foldLeft(inBounds)(_ && _)
+    c.withColumn("value", when(onStride, data).otherwise(col("value")))
   }
+
+  def patch(c: DataFrame, arrayId: String,
+            b0: (Long, Long), b1: (Long, Long), data: Column): DataFrame =
+    patch(c, arrayId, Dim(b0._1, b0._2), Dim(b1._1, b1._2), data)
 
   def a3SubsetUpdate(s: SparkSession, dir: String): DataFrame =
     patch(cellsStored(s, dir), "click", (10L, 20L), (4L, 12L),
@@ -151,13 +185,16 @@ object ArrayOps {
        |FROM catalog ORDER BY array_id""".stripMargin
 
   // --- a7_get_by_primary: get_by_primary_attributes (base.py:333-382) -----
-  // Lookup key "vid/v0-v1" built exactly like utils/hashing.py:8-21.
+  // Lookup key "vid/v0-v1" built exactly like utils/hashing.py:8-21, with
+  // the tile join constraining BOTH vgrid dims (the key's v1 is a real
+  // coordinate — 'view/1-1' is the upper-bucket half of day-tile 1).
   def a7GetByPrimary(s: SparkSession, dir: String): DataFrame = {
-    val t = tiles(s, dir).filter(col("hash_key") === "view/1-0")
+    val t = tiles(s, dir).filter(col("hash_key") === "view/1-1")
     val c = cellsStored(s, dir)
     c.join(broadcast(t),
            c("array_id") === t("vid") &&
-           (c("i0") / Tile0).cast("long") === t("v0"))
+           (c("i0") / Tile0).cast("long") === t("v0") &&
+           (c("i1") / Tile1).cast("long") === t("v1"))
       .groupBy("vid", "v0", "v1", "hash_key")
       .agg(count(lit(1)).as("n_cells"),
            Det.dsum(col("value")).as("value_sum"))
@@ -169,7 +206,8 @@ object ArrayOps {
        |  ${Det.sqlDsum("value")} AS value_sum
        |FROM cells JOIN tiles
        |  ON array_id = vid AND CAST(i0 // $Tile0 AS BIGINT) = v0
-       |WHERE hash_key = 'view/1-0'
+       |    AND CAST(i1 // $Tile1 AS BIGINT) = v1
+       |WHERE hash_key = 'view/1-1'
        |GROUP BY vid, v0, v1, hash_key""".stripMargin
 
   // --- a8_list_arrays: __iter__ over the collection (base.py:436-452) -----
@@ -192,7 +230,8 @@ object ArrayOps {
     val doomed = tiles(s, dir).filter(col("vid") === "error")
     c.join(broadcast(doomed),
            c("array_id") === doomed("vid") &&
-           (c("i0") / Tile0).cast("long") === doomed("v0"),
+           (c("i0") / Tile0).cast("long") === doomed("v0") &&
+           (c("i1") / Tile1).cast("long") === doomed("v1"),
            "left_anti")
       .groupBy("array_id")
       .agg(count(lit(1)).as("n_cells"),
@@ -207,29 +246,34 @@ object ArrayOps {
        |FROM cells c
        |WHERE NOT EXISTS (SELECT 1 FROM tiles t
        |  WHERE t.vid = 'error' AND c.array_id = t.vid
-       |    AND CAST(c.i0 // $Tile0 AS BIGINT) = t.v0)
+       |    AND CAST(c.i0 // $Tile0 AS BIGINT) = t.v0
+       |    AND CAST(c.i1 // $Tile1 AS BIGINT) = t.v1)
        |GROUP BY array_id ORDER BY array_id""".stripMargin
 
   // --- a10_varray_assemble: vgrid tile <-> global coords ------------------
-  // Pure arithmetic projection (no shuffle): local = (i0 % T, i1),
-  // tile = i0 / T, global = tile·T + local. Round-trips exactly.
+  // Pure arithmetic projection (no shuffle) over the 2-D vgrid:
+  // local = (i0 % T0, i1 % T1), tile = (i0 / T0, i1 / T1),
+  // global = tile·T + local per dim. Round-trips exactly.
   def a10VarrayAssemble(s: SparkSession, dir: String): DataFrame =
     cellsStored(s, dir).filter(col("array_id") === "signup")
       .select(
         (col("i0") / Tile0).cast("long").as("v0"),
+        (col("i1") / Tile1).cast("long").as("v1"),
         pmod(col("i0"), lit(Tile0)).cast("long").as("l0"),
-        col("i1").as("l1"),
+        pmod(col("i1"), lit(Tile1)).cast("long").as("l1"),
         col("value"))
       .withColumn("g0", col("v0") * Tile0 + col("l0"))
-      .withColumn("g1", col("l1"))
+      .withColumn("g1", col("v1") * Tile1 + col("l1"))
       .orderBy("g0", "g1")
 
   val a10Sql: String =
     s"""WITH $cellsSql
        |SELECT CAST(i0 // $Tile0 AS BIGINT) AS v0,
-       |  CAST(i0 % $Tile0 AS BIGINT) AS l0, i1 AS l1, value,
+       |  CAST(i1 // $Tile1 AS BIGINT) AS v1,
+       |  CAST(i0 % $Tile0 AS BIGINT) AS l0,
+       |  CAST(i1 % $Tile1 AS BIGINT) AS l1, value,
        |  CAST(i0 // $Tile0 AS BIGINT) * $Tile0 + CAST(i0 % $Tile0 AS BIGINT) AS g0,
-       |  i1 AS g1
+       |  CAST(i1 // $Tile1 AS BIGINT) * $Tile1 + CAST(i1 % $Tile1 AS BIGINT) AS g1
        |FROM cells WHERE array_id = 'signup' ORDER BY g0, g1""".stripMargin
 
   // --- a11_hashring_place: consistent-hash placement (hash_ring.py) -------
@@ -244,7 +288,7 @@ object ArrayOps {
     tiles(s, dir)
       .withColumn("node", placeExpr(HashRing.current, "hash_key"))
       .select("vid", "v0", "v1", "hash_key", "node")
-      .orderBy("vid", "v0")
+      .orderBy("vid", "v0", "v1")
 
   private def duckPlace(ring: HashRing, alias: String): String =
     s"""COALESCE(
@@ -256,7 +300,7 @@ object ArrayOps {
        |ring(k, node) AS (VALUES ${HashRing.current.sqlValues})
        |SELECT vid, v0, v1, hash_key,
        |  (SELECT node FROM ring WHERE k = ${duckPlace(HashRing.current, "ring")}) AS node
-       |FROM tiles ORDER BY vid, v0""".stripMargin
+       |FROM tiles ORDER BY vid, v0, v1""".stripMargin
 
   // --- a12_ring_rebalance: current vs target ring diff --------------------
   // cluster_config.py:126-145 keeps a current + target HashRing during
@@ -269,21 +313,21 @@ object ArrayOps {
       .withColumn("status",
         when(col("node") =!= col("target_node"), lit("exported"))
           .otherwise(lit("normal")))
-      .select("vid", "v0", "hash_key", "node", "target_node", "status")
-      .orderBy("vid", "v0")
+      .select("vid", "v0", "v1", "hash_key", "node", "target_node", "status")
+      .orderBy("vid", "v0", "v1")
 
   val a12Sql: String =
     s"""WITH $cellsSql, $tilesSql,
        |ring(k, node) AS (VALUES ${HashRing.current.sqlValues}),
        |tring(k, node) AS (VALUES ${HashRing.target.sqlValues}),
        |placed AS (
-       |  SELECT vid, v0, hash_key,
+       |  SELECT vid, v0, v1, hash_key,
        |    (SELECT node FROM ring WHERE k = ${duckPlace(HashRing.current, "ring")}) AS node,
        |    (SELECT node FROM tring WHERE k = ${duckPlace(HashRing.target, "tring")}) AS target_node
        |  FROM tiles)
-       |SELECT vid, v0, hash_key, node, target_node,
+       |SELECT vid, v0, v1, hash_key, node, target_node,
        |  CASE WHEN node <> target_node THEN 'exported' ELSE 'normal' END AS status
-       |FROM placed ORDER BY vid, v0""".stripMargin
+       |FROM placed ORDER BY vid, v0, v1""".stripMargin
 
   // --- a13_subset_chunked: flow-controlled read == direct read ------------
   // maxCells=64 forces the 10x8 request into tile-sized chunks; the oracle
@@ -401,17 +445,17 @@ object ArrayOps {
     tiles(s, dir)
       .withColumn("reps", graft.plans.RingReplicas.replicas(
         graft.functions.GenKey(col("hash_key")), HashRing.current, 3))
-      .select(col("vid"), col("v0"), col("hash_key"),
+      .select(col("vid"), col("v0"), col("v1"), col("hash_key"),
               element_at(col("reps"), 1).as("replica_1"),
               element_at(col("reps"), 2).as("replica_2"),
               element_at(col("reps"), 3).as("replica_3"))
-      .orderBy("vid", "v0")
+      .orderBy("vid", "v0", "v1")
 
   val a17Sql: String =
     s"""WITH $cellsSql, $tilesSql,
        |ring(k, node) AS (VALUES ${HashRing.current.sqlValues}),
        |tkeys AS (
-       |  SELECT vid, v0, hash_key, ${HashRing.duckGenKey("hash_key")} AS h
+       |  SELECT vid, v0, v1, hash_key, ${HashRing.duckGenKey("hash_key")} AS h
        |  FROM tiles),
        |ranked AS (
        |  SELECT hash_key, node,
@@ -422,14 +466,14 @@ object ArrayOps {
        |               ELSE r.k - t.h + 4294967296 END) AS min_ord
        |    FROM tkeys t CROSS JOIN ring r
        |    GROUP BY t.hash_key, r.node))
-       |SELECT t.vid, t.v0, t.hash_key,
+       |SELECT t.vid, t.v0, t.v1, t.hash_key,
        |  MAX(CASE WHEN rr = 1 THEN node END) AS replica_1,
        |  MAX(CASE WHEN rr = 2 THEN node END) AS replica_2,
        |  MAX(CASE WHEN rr = 3 THEN node END) AS replica_3
        |FROM tkeys t JOIN ranked USING (hash_key)
        |WHERE rr <= 3
-       |GROUP BY t.vid, t.v0, t.hash_key
-       |ORDER BY vid, v0""".stripMargin
+       |GROUP BY t.vid, t.v0, t.v1, t.hash_key
+       |ORDER BY vid, v0, v1""".stripMargin
 
   // --- a18_rate_limit: flow-control throttling as a data transform --------
   // httpx_client.py surfaces 429 + RateLimit-{Limit,Remaining} headers; the
@@ -555,6 +599,55 @@ object ArrayOps {
        |  AND i1 >= 0 AND i1 < 8 AND i2 >= 6 AND i2 < 18
        |ORDER BY i0, i1, i2""".stripMargin
 
+  // --- a22_strided_read: stepped slice bounds -----------------------------
+  // The reference's Slice accepts a step through slice_converter
+  // (base.py:236 read_data bounds, base.py:279 update bounds): arr[5:25:2,
+  // 0:16:3]. The stride is an extra scan-time predicate on top of the
+  // pruned range read — same storage story as a2, strictly fewer rows out.
+  def a22StridedRead(s: SparkSession, dir: String): DataFrame =
+    sliceRead(cellsStored(s, dir), "click", Dim(5L, 25L, 2L), Dim(0L, 16L, 3L))
+      .select("array_id", "i0", "i1", "value")
+      .orderBy("i0", "i1")
+
+  val a22Sql: String =
+    s"""WITH $cellsSql
+       |SELECT array_id, i0, i1, value FROM cells
+       |WHERE array_id = 'click' AND i0 >= 5 AND i0 < 25 AND (i0 - 5) % 2 = 0
+       |  AND i1 >= 0 AND i1 < 16 AND (i1 - 0) % 3 = 0
+       |ORDER BY i0, i1""".stripMargin
+
+  // --- a23_leader_redirect: MISDIRECTED_REQUEST retry targets -------------
+  // httpx_client.py:44-66: a request landing on a node that no longer owns
+  // the key gets 421, the client re-applies the cluster config and retries
+  // against the new owner. The engine form: for every tile whose owner
+  // changes between the current and target rings (the a12 moved-set), emit
+  // the retry route first_attempt -> redirected_to with the attempt count
+  // the reference's retry loop would burn (2 = original + one redirect).
+  // Same zero-shuffle placement expressions as a11/a12.
+  def a23LeaderRedirect(s: SparkSession, dir: String): DataFrame =
+    tiles(s, dir)
+      .withColumn("first_attempt", placeExpr(HashRing.current, "hash_key"))
+      .withColumn("redirected_to", placeExpr(HashRing.target, "hash_key"))
+      .filter(col("first_attempt") =!= col("redirected_to"))
+      .withColumn("n_attempts", lit(2L))
+      .select("vid", "v0", "v1", "hash_key", "first_attempt", "redirected_to",
+              "n_attempts")
+      .orderBy("vid", "v0", "v1")
+
+  val a23Sql: String =
+    s"""WITH $cellsSql, $tilesSql,
+       |ring(k, node) AS (VALUES ${HashRing.current.sqlValues}),
+       |tring(k, node) AS (VALUES ${HashRing.target.sqlValues}),
+       |placed AS (
+       |  SELECT vid, v0, v1, hash_key,
+       |    (SELECT node FROM ring WHERE k = ${duckPlace(HashRing.current, "ring")}) AS first_attempt,
+       |    (SELECT node FROM tring WHERE k = ${duckPlace(HashRing.target, "tring")}) AS redirected_to
+       |  FROM tiles)
+       |SELECT vid, v0, v1, hash_key, first_attempt, redirected_to,
+       |  CAST(2 AS BIGINT) AS n_attempts
+       |FROM placed WHERE first_attempt <> redirected_to
+       |ORDER BY vid, v0, v1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
@@ -577,6 +670,8 @@ object ArrayOps {
     "a19_list_collections" -> (a19ListCollections _),
     "a20_collection_delete" -> (a20CollectionDelete _),
     "a21_subset_read_3d" -> (a21SubsetRead3d _),
+    "a22_strided_read" -> (a22StridedRead _),
+    "a23_leader_redirect" -> (a23LeaderRedirect _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -601,5 +696,7 @@ object ArrayOps {
     "a19_list_collections" -> a19Sql,
     "a20_collection_delete" -> a20Sql,
     "a21_subset_read_3d" -> a21Sql,
+    "a22_strided_read" -> a22Sql,
+    "a23_leader_redirect" -> a23Sql,
   )
 }

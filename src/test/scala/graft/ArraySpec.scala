@@ -153,6 +153,40 @@ class ArraySpec extends SparkSpec {
     assert(df.select("g0", "g1", "value").except(orig).count() == 0)
   }
 
+  test("strided slice: phase anchored at lo; chunked==direct; patch-back strided cells only") {
+    import ArrayOps.Dim
+    val c = ArrayModel.cells(spark, sf)
+    val strided = ArrayOps.sliceRead(c, "click", Dim(5, 25, 2), Dim(0, 16, 3))
+    val rows = strided.select("i0", "i1").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((r.getLong(0) - 5) % 2 == 0 && r.getLong(1) % 3 == 0,
+        s"off-stride cell (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // flow-controlled strided read must equal the direct strided read
+    val chunked = ArrayOps.chunkedSliceRead(c, "click", Dim(5, 25, 2), Dim(0, 16, 3), 8)
+    assert(chunked.except(strided).count() == 0 && strided.except(chunked).count() == 0)
+    // patch the strided subset, read back: every on-stride cell patched,
+    // no off-stride cell touched
+    val patched = ArrayOps.patch(c, "click", Dim(5, 25, 2), Dim(0, 16, 3), lit(-7.0))
+    val onStride = ArrayOps.sliceRead(patched, "click", Dim(5, 25, 2), Dim(0, 16, 3))
+    assert(onStride.filter(col("value") =!= -7.0).count() == 0)
+    val offStride = patched.filter(col("array_id") === "click").except(onStride)
+    assert(offStride.filter(col("value") === -7.0).count() == 0)
+    intercept[graft.GraftBoundsError] {
+      ArrayOps.sliceRead(c, "click", Dim(0, 5, 0), Dim(0, 5))
+    }
+  }
+
+  test("vgrid tiles are truly 2-D: v1 is a real coordinate, key joins all coords") {
+    val t = ArrayModel.tiles(spark, sf)
+    assert(t.select("v1").distinct().count() > 1, "v1 must vary (not lit(0))")
+    t.collect().foreach { r =>
+      assert(r.getAs[String]("hash_key") ==
+        s"${r.getAs[String]("vid")}/${r.getAs[Long]("v0")}-${r.getAs[Long]("v1")}")
+    }
+  }
+
   test("slice read prunes partitions and pushes dim filters at the scan") {
     // a2 reads the materialized store: array_id is a directory-level
     // PartitionFilter, the dim bounds are row-group PushedFilters
