@@ -514,16 +514,24 @@ object Relational {
             Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-           Det.dsum(col("o_totalprice")).as("total_price"))
-      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+           Det.dsum(col("o_totalprice")).as("total_price"),
+           grouping(col("o_orderstatus")).as("g_status"),
+           grouping(col("o_orderpriority")).as("g_priority"))
+      // GROUPING(), not COALESCE-on-value: a genuine NULL group value and
+      // a subtotal row must not collide on the output key
+      .select(when(col("g_status") === 1, lit("ALL"))
+                .otherwise(col("o_orderstatus")).as("status"),
+              when(col("g_priority") === 1, lit("ALL"))
+                .otherwise(col("o_orderpriority")).as("priority"),
               col("n_orders"), col("total_price"))
       .orderBy("status", "priority")
   }
 
   val q21Sql: String =
-    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+    s"""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+       |            ELSE o_orderstatus END AS status,
+       |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+       |       ELSE o_orderpriority END AS priority,
        |  COUNT(*) AS n_orders,
        |  ${Det.sqlDsum("o_totalprice")} AS total_price
        |FROM orders

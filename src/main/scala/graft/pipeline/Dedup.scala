@@ -438,11 +438,22 @@ object Dedup {
   private def quotaBp(srcNum: Column): Column =
     when(srcNum < 5, 10000L).when(srcNum < 10, 5000L).otherwise(2500L)
 
+  /** Validated source-number extraction: a source name outside 'srcN'
+    * (or with an int-overflowing suffix) raises on BOTH engines instead of
+    * one silently re-bucketing into the `otherwise` quota — data-shape
+    * drift fails loudly, symmetric with the oracle's error().
+    */
+  private def srcNum: Column =
+    when(col("source").rlike("^src[0-9]{1,9}$"),
+        regexp_extract(col("source"), "^src([0-9]+)$", 1).cast("int"))
+      .otherwise(raise_error(
+        concat(lit("d8: unexpected source name: "), col("source"))))
+
   def d8MixtureSample(s: SparkSession, dir: String): DataFrame = {
     val h = pmod(graft.functions.GenKey(
       concat(col("source"), lit("/"), col("doc_id").cast("string"))), lit(10000L))
     Tables.documents(s, dir)
-      .withColumn("quota_bp", quotaBp(substring(col("source"), 4, 10).cast("int")))
+      .withColumn("quota_bp", quotaBp(srcNum))
       .withColumn("kept", h < col("quota_bp"))
       .groupBy("source", "quota_bp")
       .agg(count(lit(1)).as("n_docs"),
@@ -454,18 +465,25 @@ object Dedup {
 
   val d8Sql: String = {
     val h = HashRing.duckGenKey("source || '/' || CAST(doc_id AS VARCHAR)")
+    // validated extraction mirrored: malformed source names error() here
+    // exactly where the Spark side raise_error()s
+    val num =
+      """CASE WHEN regexp_matches(source, '^src[0-9]{1,9}$')
+        |         THEN CAST(regexp_extract(source, '^src([0-9]+)$', 1) AS INTEGER)
+        |         ELSE CAST(error('d8: unexpected source name: ' || source) AS INTEGER)
+        |    END""".stripMargin
     s"""SELECT source, quota_bp, COUNT(*) AS n_docs,
        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
        |FROM (
        |  SELECT source,
-       |    CAST(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 10000
-       |              WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 5000
+       |    CAST(CASE WHEN src_num < 5 THEN 10000
+       |              WHEN src_num < 10 THEN 5000
        |              ELSE 2500 END AS BIGINT) AS quota_bp,
-       |    ($h) % 10000 < CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 10000
-       |                        WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 5000
+       |    ($h) % 10000 < CASE WHEN src_num < 5 THEN 10000
+       |                        WHEN src_num < 10 THEN 5000
        |                        ELSE 2500 END AS kept
-       |  FROM documents)
+       |  FROM (SELECT source, doc_id, $num AS src_num FROM documents))
        |GROUP BY source, quota_bp ORDER BY source""".stripMargin
   }
 

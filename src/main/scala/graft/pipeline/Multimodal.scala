@@ -49,13 +49,17 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  // The stub formula is a function of the (ascii) payload bytes, so the
-  // oracle can check the full path: octet length == char length here.
+  // Octet-based oracle: strlen is BYTE length and hex(encode(text)) yields
+  // two hex chars per UTF-8 byte, so the contract holds for ANY payload —
+  // no ASCII assumption (this DuckDB has no blob substring; the hex string
+  // is the byte-addressable view).
   val m1Sql: String =
     """SELECT doc_id,
-      |  CAST(length(text) AS BIGINT) AS n_bytes,
-      |  16 + CAST(length(text) AS BIGINT) % 64 AS width,
-      |  16 + CAST(ascii(substr(text, 1, 1)) AS BIGINT) % 32 AS height,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  16 + CAST(strlen(text) AS BIGINT) % 64 AS width,
+      |  16 + CAST(CASE WHEN strlen(text) = 0 THEN 0
+      |                 ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+      |            END AS BIGINT) % 32 AS height,
       |  'fake/raw' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -96,21 +100,21 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  // ascii payload: octet positions == char positions, so the oracle
-  // replays the framing with substr + per-char code-point sums
+  // Octet-based oracle (see m1Sql): framing offsets index the hex string
+  // at 2 chars per byte, so frame boundaries and checksums are byte
+  // semantics for any payload, matching the Spark side's UTF-8 bytes.
   val m2Sql: String =
     s"""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
-       |  CAST(length(chunk) AS BIGINT) AS n_bytes,
+       |  CAST(LEAST($FrameBytes, nb - f * $FrameBytes) AS BIGINT) AS n_bytes,
        |  CAST(list_reduce(list_prepend(0,
-       |    list_transform(range(1, length(chunk) + 1),
-       |                   i -> ascii(substr(chunk, CAST(i AS INTEGER), 1)))),
+       |    list_transform(range(1, CAST(LEAST($FrameBytes, nb - f * $FrameBytes) AS BIGINT) + 1),
+       |                   i -> ('0x' || substr(h, f * ${2 * FrameBytes} + 2 * i - 1, 2))::BIGINT)),
        |    (a, b) -> a + b) AS BIGINT) AS checksum
        |FROM (
-       |  SELECT doc_id, f,
-       |    substr(text, CAST(1 + f * $FrameBytes AS INTEGER), $FrameBytes) AS chunk
+       |  SELECT doc_id, f, strlen(text) AS nb, hex(encode(text)) AS h
        |  FROM (
        |    SELECT doc_id, text,
-       |      unnest(range(0, CAST(ceil(length(text) / $FrameBytes.0) AS BIGINT))) AS f
+       |      unnest(range(0, CAST(ceil(strlen(text) / $FrameBytes.0) AS BIGINT))) AS f
        |    FROM documents)
        |  WHERE f % $SampleEvery = 0)
        |ORDER BY doc_id, frame_idx""".stripMargin
