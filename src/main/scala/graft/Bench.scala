@@ -33,7 +33,40 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$Runs,"timing":"min","failed":$failed,"sf":"$sfDir"}""")
+
+    // --- scaling pass: re-time the pipeline (d/s) families at a smaller
+    // SF and report the per-op growth exponent t ~ data^e (e≈1 linear,
+    // e≈2 quadratic). Raw exponents are overhead-dampened (~0.3s fixed
+    // cost per query at this scale) — they bound the true growth from
+    // below, but a quadratic operator still shows unmistakably (10x docs
+    // => 100x work => e≈2).
+    val baseDir = sys.env.get("SPARK_GRAFT_SCALE_BASE_DIR").orElse {
+      val cand = sfDir.replace("sf0.1", "sf0.01")
+      if (cand != sfDir && new java.io.File(cand).isDirectory) Some(cand) else None
+    }
+    val scaling = baseDir.map { bd =>
+      def rows(dir: String, table: String): Double =
+        spark.read.parquet(s"$dir/$table.parquet").count().toDouble
+      val docRatio = rows(sfDir, "documents") / rows(bd, "documents")
+      val embRatio = rows(sfDir, "embeddings") / rows(bd, "embeddings")
+      val scaleOps = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (k, _) => k.matches("^[ds]\\d+_.*") }
+      val entries = scaleOps.flatMap { case (name, fn) =>
+        val tBase = (1 to Runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, bd).count() } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        results.find(_._1 == name).map { case (_, tMain, _) =>
+          val ratio = if (name == "d5_embed_dedup" || name.startsWith("s")) embRatio else docRatio
+          val e = math.log(tMain / tBase) / math.log(ratio)
+          f"""\"$name\":{\"t_base\":$tBase%.3f,\"t_main\":$tMain%.3f,\"data_ratio\":$ratio%.1f,\"exponent\":$e%.2f}"""
+        }
+      }
+      s""","scaling":{"base_sf":"$bd","ops":${entries.mkString("{", ",", "}")}}"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$Runs,"timing":"min","failed":$failed,"sf":"$sfDir"$scaling}""")
     spark.stop()
   }
 }

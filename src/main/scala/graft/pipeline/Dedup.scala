@@ -272,11 +272,9 @@ object Dedup {
   // --- d5_embed_dedup: embedding-cosine near-dup pairs --------------------
   // Bucketed candidate generation + per-bucket exact verify — the shape
   // that survives 100 TB. Each vector gets EmbTables sign-LSH bucket ids
-  // (EmbPlanes random hyperplanes per table); candidates are pairs sharing
-  // a (table, bucket) key — one equi-join shuffled by that key, never
-  // all-pairs and never a driver collect. The exact cosine (codegen'd
-  // unrolled 64-term left-fold, identical IEEE order to the oracle's
-  // list_reduce) runs once per DISTINCT candidate pair.
+  // (EmbPlanes random hyperplanes per table); vectors shuffle ONCE by
+  // their (table, bucket) key — 24·n·dim bytes, never all-pairs, never a
+  // driver collect — and the exact cosine runs inside each bucket.
   //
   // Tuning: recall per pair is 1-(1-(1-θ/π)^k)^T. T=24 tables of k=3
   // planes covers the θ≥0.45 band completely on the synthetic corpus
@@ -310,20 +308,34 @@ object Dedup {
   private def planeLitSql(p: Seq[Double]): String =
     "[" + p.map(x => new java.math.BigDecimal(x).toPlainString).mkString(", ") + "]"
 
-  /** Array of EmbTables bucket ids for the `emb` column. The plane dots
-    * run once per VECTOR (n rows), not per pair — interpreted HOF cost is
-    * negligible next to the pair join.
+  private val embPlanesArr: Array[Array[Double]] = embPlanes.map(_.toArray).toArray
+
+  /** Bucket ids of one vector against the static planes — the primitive
+    * form of the oracle's CASE/list_reduce expressions, identical fold
+    * order (left-to-right from 0.0), so the sign decisions are
+    * bit-identical. Runs once per vector; 72 dots of 64 terms is ~10ms
+    * across the whole sf0.1 table in fused loops, where the equivalent
+    * higher-order-function column costs seconds interpreted.
     */
-  private def embBucketsCol: Column =
-    array((0 until EmbTables).map { t =>
-      (0 until EmbPlanes).map { i =>
-        val p = embPlanes(t * EmbPlanes + i)
-        val dot = aggregate(
-          zip_with(col("emb"), array(p.map(lit(_)): _*), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+  private def kernelBuckets(emb: Array[Double]): Array[Long] = {
+    val out = new Array[Long](EmbTables)
+    var t = 0
+    while (t < EmbTables) {
+      var b = 0L
+      var i = 0
+      while (i < EmbPlanes) {
+        val p = embPlanesArr(t * EmbPlanes + i)
+        var acc = 0.0
+        var d = 0
+        while (d < p.length) { acc += emb(d) * p(d); d += 1 }
+        if (acc > 0) b |= (1L << i)
+        i += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    out
+  }
 
   private def embBucketSqlExpr(t: Int): String =
     (0 until EmbPlanes).map { i =>
@@ -334,22 +346,62 @@ object Dedup {
       s"CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString(" + ")
 
+  /** The per-bucket exact verify is a primitive double[] kernel, not a
+    * column expression: a 64-term dot evaluated per candidate pair through
+    * Catalyst lands either in a join condition (interpreted per probed
+    * pair) or in a whole-stage method too large for the JIT — measured
+    * 40-100x slower than fused primitive loops. The kernel keeps ONE
+    * bucket in memory at a time (rows arrive sorted by (tbl, bkt)), so
+    * memory is bounded by the largest bucket — k tunes that at scale —
+    * and nothing ever touches the driver. Left-to-right accumulation from
+    * 0.0 keeps the IEEE result bit-identical to the oracle's list_reduce.
+    */
   def d5EmbedDedup(s: SparkSession, dir: String): DataFrame = {
-    val e = Similarity.normed(s, dir)
-    val exploded = e.withColumn("buckets", embBucketsCol)
-      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bkt")))
-    val cand = exploded.as("l")
-      .join(exploded.as("r"),
-        col("l.tbl") === col("r.tbl") && col("l.bkt") === col("r.bkt") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
-      .distinct()
-    cand
-      .join(e.select(col("vec_id").as("id_a"), col("emb").as("ea"), col("norm").as("na")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("emb").as("eb"), col("norm").as("nb")), "id_b")
-      .withColumn("cosine", Similarity.cosine(col("ea"), col("eb"), col("na"), col("nb")))
-      .filter(col("cosine") >= 0.45)
-      .select("id_a", "id_b", "cosine")
+    import s.implicits._
+    Similarity.normed(s, dir)
+      .select("vec_id", "emb", "norm")
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions(_.flatMap { case (id, emb, norm) =>
+        val bs = kernelBuckets(emb)
+        (0 until EmbTables).iterator.map(t => (t, bs(t), id, emb, norm))
+      })
+      .toDF("tbl", "bkt", "vec_id", "emb", "norm")
+      .as[(Int, Long, Long, Array[Double], Double)]
+      .repartition(col("tbl"), col("bkt"))
+      .sortWithinPartitions("tbl", "bkt", "vec_id")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        // one (tbl, bkt) group at a time; vec_id-sorted, so id_a < id_b
+        Iterator.continually {
+          if (!buf.hasNext) None
+          else {
+            val (t0, b0, _, _, _) = buf.head
+            val grp = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Array[Double], Double)]
+            while (buf.hasNext && buf.head._1 == t0 && buf.head._2 == b0) {
+              val r = buf.next(); grp += ((r._3, r._4, r._5))
+            }
+            Some(grp)
+          }
+        }.takeWhile(_.isDefined).flatMap { g =>
+          val grp = g.get
+          grp.indices.iterator.flatMap { i =>
+            (i + 1 until grp.length).iterator.flatMap { j =>
+              val (ia, ea, na) = grp(i)
+              val (ib, eb, nb) = grp(j)
+              var acc = 0.0
+              var d = 0
+              while (d < ea.length) { acc += ea(d) * eb(d); d += 1 }
+              val cos = acc / (na * nb)
+              if (cos >= 0.45) Iterator.single((ia, ib, cos))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
+      .distinct() // a pair can collide in several tables; the cosine is
+                  // bit-identical in each, so distinct collapses exactly
       .orderBy("id_a", "id_b")
   }
 

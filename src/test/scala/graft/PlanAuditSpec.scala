@@ -60,11 +60,42 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("d5_embed_dedup's plan is fully declarative — no RDD kernel, no collected input") {
+  test("d5_embed_dedup: bucket-partitioned kernel, no driver-collected input") {
     val plan = SparkEntry.queries("d5_embed_dedup")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("MapPartitions"), "RDD kernel in d5 plan")
+    // the one shuffle is the vectors moving to their (tbl, bkt) buckets;
+    // the exact verify runs per bucket downstream of that exchange
+    assert(plan.contains("hashpartitioning(tbl"),
+      s"d5 must partition by the LSH bucket key:\n${plan.take(1500)}")
+    // a collect()-then-parallelize round trip would surface as an
+    // ExistingRDD scan (the construction-time job audit above catches the
+    // collect itself)
     assert(!plan.contains("ExistingRDD"), "driver-collected input in d5 plan")
+  }
+
+  test("every array slice-read shape: partition prune + pushed dim bounds + zero Exchange") {
+    // The a-family read path at 100 TB is directory prune (array_id) +
+    // row-group skip (dim bounds) and NO shuffle. Audit every slice shape
+    // the operators use — plain, chunked, label-converted, strided —
+    // against the materialized store (StoreAndExtensionsSpec covers
+    // pieces; this is the inventory-wide invariant).
+    import graft.arrays.{ArrayModel, ArrayOps}
+    import ArrayOps.Dim
+    val c = ArrayModel.cellsStored(spark, sf)
+    val slices = Map(
+      "plain(a2)" -> ArrayOps.sliceRead(c, "click", (5L, 15L), (2L, 10L)),
+      "chunked(a13)" -> ArrayOps.chunkedSliceRead(c, "view", (5L, 15L), (2L, 10L), 64),
+      "label(a16)" -> ArrayOps.sliceRead(c, "signup", (5L, 15L), (0L, 16L)),
+      "strided(a22)" -> ArrayOps.sliceRead(c, "click", Dim(5, 25, 2), Dim(0, 16, 3)))
+    slices.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("array_id"),
+        s"$name: array_id must prune partitions:\n$plan")
+      assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(i0,5)"),
+        s"$name: dim bounds must reach the scan:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"$name: a slice read must not shuffle:\n$plan")
+    }
   }
 
   test("no operator falls back to interpreted ScalaUDF in its plan") {
