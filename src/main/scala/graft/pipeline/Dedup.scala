@@ -234,13 +234,22 @@ object Dedup {
   val MaxShingleDf = 10
 
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val shAll = shingles(s, dir)
-    val rare = shAll.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("s")
-    val sh = shAll.join(rare, Seq("s")).select("doc_id", "s")
+    // Fingerprinted shingles: hash each shingle to its u32 key BEFORE the
+    // distinct, so every downstream shuffle (set-dedupe, df cap,
+    // self-join) moves 8-byte keys instead of 20-40 byte strings — the
+    // standard shingle-fingerprint trick (MinHash already trusts the same
+    // hash). A rare fingerprint merge is mirrored exactly by the oracle.
+    val shAll = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
+      .distinct()
+    val rare = shAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("h")
+    val sh = shAll.join(rare, Seq("h")).select("doc_id", "h")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val l = sh.as("l"); val r = sh.as("r")
-    val inter = l.join(r, col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+    val inter = l.join(r, col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -254,14 +263,17 @@ object Dedup {
   }
 
   val d4Sql: String =
-    s"""WITH $shinglesSql,
+    s"""WITH sh0 AS (
+       |  SELECT DISTINCT doc_id, ${HashRing.duckGenKey("s")} AS h FROM (
+       |    SELECT doc_id, unnest($shinglesSqlDuck) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
        |sh2 AS (
-       |  SELECT doc_id, s FROM shingles
-       |  WHERE s IN (SELECT s FROM shingles GROUP BY s HAVING COUNT(*) <= $MaxShingleDf)),
+       |  SELECT doc_id, h FROM sh0
+       |  WHERE h IN (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) <= $MaxShingleDf)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
        |inter AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
-       |  FROM sh2 l JOIN sh2 r ON l.s = r.s AND l.doc_id < r.doc_id
+       |  FROM sh2 l JOIN sh2 r ON l.h = r.h AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter,
        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
