@@ -44,16 +44,25 @@ object Dedup {
       |     THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
       |     ELSE [array_to_string(t, ' ')] END""".stripMargin
 
-  /** Distinct (doc_id, shingle) pairs. */
-  def shingles(s: SparkSession, dir: String): DataFrame =
+  /** Distinct (doc_id, shingle-fingerprint) pairs — the shared corpus
+    * representation for the whole shingle family (d2/d4/d7/d9): each
+    * shingle hashes to its u32 key BEFORE the set-dedupe, so every
+    * downstream shuffle (distinct, df cap, minhash agg, self-join,
+    * decontamination join) moves 8-byte keys instead of 20-40 byte
+    * strings. MinHash is min() over the fingerprint multiset, so the
+    * hash-first form is signature-identical; the oracles apply the same
+    * hash, so the (rare) fingerprint merge is mirrored exactly.
+    */
+  def hashedShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleCol).as("s"))
+      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
       .distinct()
 
-  val shinglesSql: String =
-    s"""shingles AS (
-       |  SELECT DISTINCT doc_id, s FROM (
+  val hashedShinglesSql: String =
+    s"""hs AS (
+       |  SELECT DISTINCT doc_id, ${HashRing.duckGenKey("s")} AS h FROM (
        |    SELECT doc_id, unnest($shinglesSqlDuck) AS s
        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
        |)""".stripMargin
@@ -104,13 +113,13 @@ object Dedup {
     * (map-side combine; shuffle only on doc_id).
     */
   def signatures(s: SparkSession, dir: String): DataFrame = {
-    // project the MD5-based hash ONCE per shingle row; referencing GenKey(s)
-    // inside each of the 16 min() aggs would digest the string 16 times
+    // the fingerprint is computed once per shingle row in hashedShingles;
+    // referencing GenKey(s) inside each of the 16 min() aggs would digest
+    // the string 16 times
     val aggs = (0 until NumPerm).map { j =>
       min(pmod(lit(permA(j)) * col("h") + lit(permB(j)), lit(P))).as(s"sig_$j")
     }
-    shingles(s, dir)
-      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
+    hashedShingles(s, dir)
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -119,11 +128,11 @@ object Dedup {
 
   val signaturesSql: String = {
     val mins = (0 until NumPerm).map { j =>
-      s"MIN((${permA(j)} * ${HashRing.duckGenKey("s")} + ${permB(j)}) % $P)"
+      s"MIN((${permA(j)} * h + ${permB(j)}) % $P)"
     }.mkString(", ")
     s"""sigs AS (
        |  SELECT doc_id, [$mins] AS sigs
-       |  FROM shingles GROUP BY doc_id
+       |  FROM hs GROUP BY doc_id
        |)""".stripMargin
   }
 
@@ -175,7 +184,7 @@ object Dedup {
   }
 
   val d2Sql: String = {
-    s"""WITH $shinglesSql, $signaturesSql,
+    s"""WITH $hashedShinglesSql, $signaturesSql,
        |$pairsSql
        |SELECT doc_a, doc_b,
        |  len(list_filter(range(1, $NumPerm + 1), i -> sa.sigs[i] = sb.sigs[i])) AS n_match,
@@ -234,16 +243,7 @@ object Dedup {
   val MaxShingleDf = 10
 
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Fingerprinted shingles: hash each shingle to its u32 key BEFORE the
-    // distinct, so every downstream shuffle (set-dedupe, df cap,
-    // self-join) moves 8-byte keys instead of 20-40 byte strings — the
-    // standard shingle-fingerprint trick (MinHash already trusts the same
-    // hash). A rare fingerprint merge is mirrored exactly by the oracle.
-    val shAll = Tables.documents(s, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(shingleCol).as("s"))
-      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
-      .distinct()
+    val shAll = hashedShingles(s, dir)
     val rare = shAll.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select("h")
     val sh = shAll.join(rare, Seq("h")).select("doc_id", "h")
@@ -263,13 +263,10 @@ object Dedup {
   }
 
   val d4Sql: String =
-    s"""WITH sh0 AS (
-       |  SELECT DISTINCT doc_id, ${HashRing.duckGenKey("s")} AS h FROM (
-       |    SELECT doc_id, unnest($shinglesSqlDuck) AS s
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+    s"""WITH $hashedShinglesSql,
        |sh2 AS (
-       |  SELECT doc_id, h FROM sh0
-       |  WHERE h IN (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) <= $MaxShingleDf)),
+       |  SELECT doc_id, h FROM hs
+       |  WHERE h IN (SELECT h FROM hs GROUP BY h HAVING COUNT(*) <= $MaxShingleDf)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
        |inter AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
@@ -474,7 +471,7 @@ object Dedup {
   }
 
   val d7Sql: String =
-    s"""WITH RECURSIVE $shinglesSql, $signaturesSql,
+    s"""WITH RECURSIVE $hashedShinglesSql, $signaturesSql,
        |$pairsSql,
        |sym AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -561,10 +558,10 @@ object Dedup {
   val ContamThreshold = 5
 
   def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val bench = sh.filter(col("doc_id") < 20).select("s").distinct()
+    val sh = hashedShingles(s, dir)
+    val bench = sh.filter(col("doc_id") < 20).select("h").distinct()
     sh.filter(col("doc_id") >= 20)
-      .join(broadcast(bench), "s")
+      .join(broadcast(bench), "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= ContamThreshold)
@@ -572,10 +569,10 @@ object Dedup {
   }
 
   val d9Sql: String =
-    s"""WITH $shinglesSql,
-       |bench AS (SELECT DISTINCT s FROM shingles WHERE doc_id < 20)
+    s"""WITH $hashedShinglesSql,
+       |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 20)
        |SELECT doc_id, COUNT(*) AS n_shared
-       |FROM shingles JOIN bench USING (s)
+       |FROM hs JOIN bench USING (h)
        |WHERE doc_id >= 20
        |GROUP BY doc_id
        |HAVING COUNT(*) >= $ContamThreshold
