@@ -1,0 +1,31 @@
+package graft
+
+/** Bit-exact partition-count independence — the §6 determinism claim,
+  * enforced. A result that drifts when the shuffle fan-out changes
+  * (float sum order, unstable top-k ties, per-partition state) would
+  * pass a single-config oracle gate and still be wrong on a cluster
+  * whose partitioning differs from the test rig's. Exercises one op per
+  * determinism mechanism: exact-decimal sums (q1/a15), window ties
+  * (q3), the d5 bucket kernel, minhash signatures (d2), and the
+  * stateful sessionizer (q16).
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val ops = Seq("q1_agg", "q3_topk", "q16_sessionize",
+    "a15_subset_stats", "d2_minhash_lsh", "d5_embed_dedup")
+
+  test("results are bit-identical across shuffle partition counts") {
+    val key = "spark.sql.shuffle.partitions"
+    val ref = spark.conf.get(key)
+    def runWith(n: String, name: String): Seq[org.apache.spark.sql.Row] = {
+      spark.conf.set(key, n)
+      try SparkEntry.queries(name)(spark, sf).collect().toSeq
+      finally spark.conf.set(key, ref)
+    }
+    ops.foreach { name =>
+      val a = runWith("3", name)
+      val b = runWith("13", name)
+      assert(a == b, s"$name drifts with partition count (3 vs 13)")
+    }
+  }
+}
