@@ -648,6 +648,43 @@ object ArrayOps {
        |FROM placed WHERE first_attempt <> redirected_to
        |ORDER BY vid, v0, v1""".stripMargin
 
+  // --- a24_strided_dense_read: dense stepped slice ------------------------
+  // read_data with a stepped Slice returns a DENSE array of the selected
+  // lattice (base.py:265-270 reshape; slice_converter step). The vgrid
+  // coordinate source generates exactly the stride-aligned lattice (tiles
+  // with no aligned index are pruned at plan time; readers step, never
+  // generate-then-drop), LEFT-joined with the identically-strided sparse
+  // slice, absent cells surfacing as the fill value.
+  def a24StridedDenseRead(s: SparkSession, dir: String): DataFrame = {
+    val grid = s.read.format("graft.sources.GridSource")
+      .option("d0", 30).option("d1", Dim1Size)
+      .option("t0", Tile0).option("t1", Tile1)
+      .option("s0", 2).option("a0", 5)
+      .option("s1", 3).option("a1", 0)
+      .load()
+      .filter(col("i0") >= 5 && col("i0") < 25 && col("i1") >= 0 && col("i1") < 16)
+    val slice = sliceRead(cellsStored(s, dir), "click", Dim(5, 25, 2), Dim(0, 16, 3))
+      .select("i0", "i1", "value")
+    grid.join(slice, Seq("i0", "i1"), "left")
+      .select(col("i0"), col("i1"), col("v0"), col("v1"),
+              coalesce(col("value"), lit(0.0)).as("value"))
+      .orderBy("i0", "i1")
+  }
+
+  val a24Sql: String =
+    s"""WITH $cellsSql,
+       |grid AS (
+       |  SELECT a.i0, b.i1, a.i0 // $Tile0 AS v0, b.i1 // $Tile1 AS v1
+       |  FROM (SELECT unnest(range(5, 25, 2)) AS i0) a
+       |  CROSS JOIN (SELECT unnest(range(0, 16, 3)) AS i1) b)
+       |SELECT g.i0, g.i1, g.v0, g.v1, COALESCE(c.value, 0.0) AS value
+       |FROM grid g LEFT JOIN
+       |  (SELECT i0, i1, value FROM cells
+       |   WHERE array_id = 'click' AND i0 >= 5 AND i0 < 25 AND (i0 - 5) % 2 = 0
+       |     AND i1 >= 0 AND i1 < 16 AND (i1 - 0) % 3 = 0) c
+       |  USING (i0, i1)
+       |ORDER BY g.i0, g.i1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
@@ -672,6 +709,7 @@ object ArrayOps {
     "a21_subset_read_3d" -> (a21SubsetRead3d _),
     "a22_strided_read" -> (a22StridedRead _),
     "a23_leader_redirect" -> (a23LeaderRedirect _),
+    "a24_strided_dense_read" -> (a24StridedDenseRead _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -698,5 +736,6 @@ object ArrayOps {
     "a21_subset_read_3d" -> a21Sql,
     "a22_strided_read" -> a22Sql,
     "a23_leader_redirect" -> a23Sql,
+    "a24_strided_dense_read" -> a24Sql,
   )
 }

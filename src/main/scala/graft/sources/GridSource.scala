@@ -22,7 +22,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * generated, not stored: a dense `read_data` subset is this source
   * LEFT-joined with the sparse cell table (ArrayOps.a14DenseRead).
   *
-  * Options: d0, d1 (grid extents), t0, t1 (tile extents).
+  * Options: d0, d1 (grid extents), t0, t1 (tile extents), s0, s1 (slice
+  * steps, default 1) anchored at a0, a1 (the request's lo per dim, default
+  * 0) — the dense form of `arr[lo:hi:step]` (slice_converter, base.py:236).
+  * A stride is applied at the source: tiles whose range contains no
+  * stride-aligned index are pruned with the same plan-time mechanism as
+  * bounds, and readers step directly (no generate-then-filter).
   * Schema: (i0, i1, v0, v1) — global coords + owning tile coords.
   */
 class GridSource extends TableProvider {
@@ -33,7 +38,8 @@ class GridSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     def opt(k: String, d: Long): Long =
       Option(properties.get(k)).map(_.toLong).getOrElse(d)
-    new GridTable(opt("d0", 32), opt("d1", 16), opt("t0", 10), opt("t1", 16))
+    new GridTable(opt("d0", 32), opt("d1", 16), opt("t0", 10), opt("t1", 16),
+      opt("s0", 1), opt("s1", 1), opt("a0", 0), opt("a1", 0))
   }
 }
 
@@ -45,18 +51,20 @@ object GridSource {
     StructField("v1", LongType, nullable = false)))
 }
 
-final class GridTable(d0: Long, d1: Long, t0: Long, t1: Long)
+final class GridTable(d0: Long, d1: Long, t0: Long, t1: Long,
+                      s0: Long, s1: Long, a0: Long, a1: Long)
     extends Table with SupportsRead {
-  override def name(): String = s"grid(${d0}x$d1, tile ${t0}x$t1)"
+  override def name(): String = s"grid(${d0}x$d1, tile ${t0}x$t1, step ${s0}x$s1)"
   override def schema(): StructType = GridSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GridScanBuilder(d0, d1, t0, t1)
+    new GridScanBuilder(d0, d1, t0, t1, s0, s1, a0, a1)
 }
 
 /** Accepts i0/i1 range filters; everything else stays with Spark. */
-final class GridScanBuilder(d0: Long, d1: Long, t0: Long, t1: Long)
+final class GridScanBuilder(d0: Long, d1: Long, t0: Long, t1: Long,
+                            s0: Long, s1: Long, a0: Long, a1: Long)
     extends ScanBuilder with SupportsPushDownFilters {
 
   // bounds as [lo, hi) per dim, tightened by every accepted filter
@@ -97,25 +105,35 @@ final class GridScanBuilder(d0: Long, d1: Long, t0: Long, t1: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GridScan(lo0, hi0, lo1, hi1, t0, t1)
+  override def build(): Scan =
+    new GridScan(lo0, hi0, lo1, hi1, t0, t1, s0, s1, a0, a1)
 }
 
 final class GridScan(lo0: Long, hi0: Long, lo1: Long, hi1: Long,
-                     t0: Long, t1: Long) extends Scan with Batch {
+                     t0: Long, t1: Long, s0: Long, s1: Long,
+                     a0: Long, a1: Long) extends Scan with Batch {
   override def readSchema(): StructType = GridSource.schema
   override def toBatch: Batch = this
 
-  /** One InputPartition per vgrid tile intersecting the bounds —
-    * tile-level pruning happens here, at plan time.
+  /** First index >= lo congruent to anchor mod step. */
+  private def align(lo: Long, anchor: Long, step: Long): Long =
+    lo + (((anchor - lo) % step) + step) % step
+
+  /** One InputPartition per vgrid tile containing at least one
+    * stride-aligned in-bounds index — bounds AND stride prune tiles here,
+    * at plan time, and readers step directly (never generate-then-drop).
     */
   override def planInputPartitions(): Array[InputPartition] = {
     if (lo0 >= hi0 || lo1 >= hi1) return Array.empty
     val tiles = for {
       tv0 <- (lo0 / t0) to ((hi0 - 1) / t0)
       tv1 <- (lo1 / t1) to ((hi1 - 1) / t1)
-    } yield GridTilePartition(tv0, tv1,
-      math.max(lo0, tv0 * t0), math.min(hi0, (tv0 + 1) * t0),
-      math.max(lo1, tv1 * t1), math.min(hi1, (tv1 + 1) * t1))
+      start0 = align(math.max(lo0, tv0 * t0), a0, s0)
+      end0 = math.min(hi0, (tv0 + 1) * t0)
+      start1 = align(math.max(lo1, tv1 * t1), a1, s1)
+      end1 = math.min(hi1, (tv1 + 1) * t1)
+      if start0 < end0 && start1 < end1
+    } yield GridTilePartition(tv0, tv1, start0, end0, s0, start1, end1, s1)
     tiles.toArray
   }
 
@@ -124,18 +142,18 @@ final class GridScan(lo0: Long, hi0: Long, lo1: Long, hi1: Long,
 }
 
 case class GridTilePartition(v0: Long, v1: Long,
-                             lo0: Long, hi0: Long,
-                             lo1: Long, hi1: Long) extends InputPartition
+                             lo0: Long, hi0: Long, s0: Long,
+                             lo1: Long, hi1: Long, s1: Long) extends InputPartition
 
 final class GridReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val t = p.asInstanceOf[GridTilePartition]
     new PartitionReader[InternalRow] {
       private var i0 = t.lo0
-      private var i1 = t.lo1 - 1
+      private var i1 = t.lo1 - t.s1
       override def next(): Boolean = {
-        i1 += 1
-        if (i1 >= t.hi1) { i1 = t.lo1; i0 += 1 }
+        i1 += t.s1
+        if (i1 >= t.hi1) { i1 = t.lo1; i0 += t.s0 }
         i0 < t.hi0
       }
       override def get(): InternalRow =

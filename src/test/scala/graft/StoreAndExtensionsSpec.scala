@@ -132,6 +132,33 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assert(sliced.agg(min("i0"), max("i0"), min("i1"), max("i1")).head.toSeq == Seq(5L, 14L, 2L, 9L))
   }
 
+  test("GridSource V2: strides generate the exact lattice and prune tiles with no aligned index") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // stride 25 anchored at 0 over [0,30) with 10-wide tiles: hits are
+    // {0, 25} — the middle tile [10,20) holds no aligned index and must
+    // be pruned at plan time, not filtered at run time
+    val grid = spark.read.format("graft.sources.GridSource")
+      .option("d0", 30).option("d1", 16).option("t0", 10).option("t1", 16)
+      .option("s0", 25).option("a0", 0)
+      .load()
+    val scan = grid.queryExecution.executedPlan
+      .collectLeaves().collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.inputPartitions.size == 2,
+      s"stride-empty tile not pruned: ${scan.inputPartitions}")
+    assert(grid.select("i0").distinct().collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 25L))
+    // anchored stride composed with pushed bounds: [5,25) step 2 anchor 5,
+    // i1 [0,16) step 3 anchor 0 — the a24 lattice
+    val a24grid = spark.read.format("graft.sources.GridSource")
+      .option("d0", 30).option("d1", 16).option("t0", 10).option("t1", 8)
+      .option("s0", 2).option("a0", 5).option("s1", 3).option("a1", 0)
+      .load()
+      .filter(col("i0") >= 5 && col("i0") < 25 && col("i1") >= 0 && col("i1") < 16)
+    assert(a24grid.count() == 10 * 6)
+    a24grid.collect().foreach { r =>
+      assert((r.getLong(0) - 5) % 2 == 0 && r.getLong(1) % 3 == 0)
+    }
+  }
+
   test("a14 dense read: dense shape with fill, sparse cells where populated") {
     val dense = graft.arrays.ArrayOps.a14DenseRead(spark, sf)
     assert(dense.count() == 10 * 8) // always the full slice shape
