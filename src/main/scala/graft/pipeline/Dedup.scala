@@ -113,13 +113,19 @@ object Dedup {
     * (map-side combine; shuffle only on doc_id).
     */
   def signatures(s: SparkSession, dir: String): DataFrame = {
-    // the fingerprint is computed once per shingle row in hashedShingles;
-    // referencing GenKey(s) inside each of the 16 min() aggs would digest
-    // the string 16 times
+    // min() over the fingerprint MULTISET equals min() over the set, so
+    // signatures skip hashedShingles' distinct: raw exploded shingles go
+    // straight into one partial-agg'd groupBy — map-side combine collapses
+    // each partition to 16 mins per doc before the only shuffle. The
+    // fingerprint is projected once per shingle row (16 min() aggs
+    // referencing GenKey(s) directly would digest the string 16 times).
     val aggs = (0 until NumPerm).map { j =>
       min(pmod(lit(permA(j)) * col("h") + lit(permB(j)), lit(P))).as(s"sig_$j")
     }
-    hashedShingles(s, dir)
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -132,7 +138,11 @@ object Dedup {
     }.mkString(", ")
     s"""sigs AS (
        |  SELECT doc_id, [$mins] AS sigs
-       |  FROM hs GROUP BY doc_id
+       |  FROM (
+       |    SELECT doc_id, ${HashRing.duckGenKey("s")} AS h FROM (
+       |      SELECT doc_id, unnest($shinglesSqlDuck) AS s
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)))
+       |  GROUP BY doc_id
        |)""".stripMargin
   }
 
@@ -184,7 +194,7 @@ object Dedup {
   }
 
   val d2Sql: String = {
-    s"""WITH $hashedShinglesSql, $signaturesSql,
+    s"""WITH $signaturesSql,
        |$pairsSql
        |SELECT doc_a, doc_b,
        |  len(list_filter(range(1, $NumPerm + 1), i -> sa.sigs[i] = sb.sigs[i])) AS n_match,
@@ -471,7 +481,7 @@ object Dedup {
   }
 
   val d7Sql: String =
-    s"""WITH RECURSIVE $hashedShinglesSql, $signaturesSql,
+    s"""WITH RECURSIVE $signaturesSql,
        |$pairsSql,
        |sym AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
