@@ -75,6 +75,16 @@ object GraftProperties extends Properties("graft") {
       sparkRound(-0.03125).compareTo(new java.math.BigDecimal("-0.0313")) == 0
   }
 
+  // GridSource's stride alignment: first index >= lo congruent to
+  // anchor mod step — the invariant every strided tile reader relies on
+  property("grid.alignFirstCongruentIndex") =
+    Prop.forAll(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(-1000L, 1000000L),
+                Gen.chooseNum(1L, 10000L)) { (lo, anchor, step) =>
+      val aligned = lo + (((anchor - lo) % step) + step) % step
+      aligned >= lo && aligned < lo + step &&
+        ((aligned - anchor) % step + step) % step == 0
+    }
+
   private val eventsGen: Gen[List[(Long, Long, Double)]] =
     Gen.listOf(for {
       ts <- Gen.chooseNum(0L, 100L * 3600 * 1000000) // 100h span, us
