@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Embeddings with double-cast vectors + precomputed L2 norm. */
+  /** Embeddings with double-cast vectors + precomputed L2 norm
+    * (dot(emb, emb) accumulates x_i*x_i left-to-right — the same fold as
+    * the oracle's list_reduce over x²).
+    */
   def normed(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm",
-        sqrt(expr("aggregate(transform(emb, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")))
+      .withColumn("norm", sqrt(graft.functions.DotProduct(col("emb"), col("emb"))))
       .select("vec_id", "label", "emb", "norm")
 
   val normedSql: String =
@@ -41,16 +43,15 @@ object Similarity {
 
   /** Exact cosine: dot product / precomputed norms.
     *
-    * The dot is an explicit 64-term sum (dims are fixed by the schema)
-    * rather than an aggregate() fold: higher-order functions evaluate
-    * interpreted per-element, while this stays inside whole-stage codegen —
-    * ~10x faster on the all-pairs join — and `reduce(_+_)` folds left, so
-    * the addition order (and thus the IEEE result) is identical to the
-    * oracle's sequential list_reduce.
+    * The dot is the native DotProduct expression — a fused loop behind
+    * ONE codegen call site, where a higher-order aggregate() evaluates
+    * interpreted per element and an unrolled 64-term column tree bloats
+    * the consumer's generated method toward the JIT limit. The loop
+    * accumulates left-to-right from 0.0, so the IEEE result is identical
+    * to the oracle's sequential list_reduce.
     */
   def cosine(ea: Column, eb: Column, na: Column, nb: Column): Column =
-    (1 to Dims).map(i => element_at(ea, i) * element_at(eb, i))
-      .reduce(_ + _) / (na * nb)
+    graft.functions.DotProduct(ea, eb) / (na * nb)
 
   def cosineSql(a: String, b: String, na: String, nb: String): String =
     s"""list_reduce(list_prepend(0.0,
@@ -106,11 +107,12 @@ object Similarity {
   private def planeSqlList(p: Seq[Double]): String =
     "[" + p.map(x => new java.math.BigDecimal(x).toPlainString).mkString(", ") + "]"
 
-  /** Sign-bucket id as a pure column expression. */
+  /** Sign-bucket id as a pure column expression (plane literals fold to
+    * constant ArrayData; the dot is the native fused loop).
+    */
   def bucketCol: Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(col("emb"), litPlane(p), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = graft.functions.DotProduct(col("emb"), litPlane(p))
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -261,9 +263,9 @@ object Similarity {
       |      FROM normed))
       |)""".stripMargin
 
-  /** Exact integer dot of two quantized codes (codegen'd unrolled sum). */
+  /** Exact integer dot of two quantized codes (native fused loop). */
   private def qdot(a: Column, b: Column): Column =
-    (1 to Dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    graft.functions.LongDotProduct(a, b)
 
   def s4SqAnn(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)

@@ -167,6 +167,28 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assert(dense.filter(col("value") =!= 0.0).count() == sparse.filter(col("value") =!= 0.0).count())
   }
 
+  test("DotProduct natives: codegen'd and fold-identical to the unrolled sums they replaced") {
+    import graft.functions.{DotProduct, LongDotProduct}
+    val df = spark.range(500)
+      .withColumn("a", expr("transform(sequence(1, 64), i -> CAST(i AS DOUBLE) / 7.0 + CAST(id AS DOUBLE))"))
+      .withColumn("b", expr("transform(sequence(1, 64), i -> CAST(i AS DOUBLE) / 3.0 - CAST(id AS DOUBLE))"))
+      .withColumn("dot", DotProduct(col("a"), col("b")))
+      .withColumn("ref",
+        (1 to 64).map(i => element_at(col("a"), i) * element_at(col("b"), i)).reduce(_ + _))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("),
+      s"graft_dot fell out of whole-stage codegen:\n$plan")
+    // bit-exact: the fused loop folds left from 0.0 exactly like the tree
+    assert(df.filter(col("dot") =!= col("ref")).count() == 0)
+    val ldf = spark.range(200)
+      .withColumn("a", expr("transform(sequence(1, 64), i -> i * (id + 3))"))
+      .withColumn("b", expr("transform(sequence(1, 64), i -> i - id)"))
+      .withColumn("dot", LongDotProduct(col("a"), col("b")))
+      .withColumn("ref",
+        (1 to 64).map(i => element_at(col("a"), i) * element_at(col("b"), i)).reduce(_ + _))
+    assert(ldf.filter(col("dot") =!= col("ref")).count() == 0)
+  }
+
   test("GraftSession: cluster config set is wired (extensions, overwrite mode)") {
     // spark.sql.extensions is a STATIC conf: it only takes effect on a
     // fresh SparkContext (as on a real cluster); on the shared test
