@@ -52,15 +52,21 @@ object Bench {
       val scaleOps = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (k, _) => k.matches("^[ds]\\d+_.*") }
       val entries = scaleOps.flatMap { case (name, fn) =>
-        val tBase = (1 to Runs).map { _ =>
+        // a base-SF failure must NOT be timed as t_base (a fast failure
+        // fakes a huge exponent with no marker) — flag it instead
+        val baseRuns = (1 to Runs).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, bd).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }.min
+          val ok = try { fn(spark, bd).count(); true } catch { case _: Throwable => false }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
         results.find(_._1 == name).map { case (_, tMain, _) =>
-          val ratio = if (name == "d5_embed_dedup" || name.startsWith("s")) embRatio else docRatio
-          val e = math.log(tMain / tBase) / math.log(ratio)
-          f"""\"$name\":{\"t_base\":$tBase%.3f,\"t_main\":$tMain%.3f,\"data_ratio\":$ratio%.1f,\"exponent\":$e%.2f}"""
+          if (!baseRuns.forall(_._2)) s"""\"$name\":{\"err\":\"base_sf_failed\"}"""
+          else {
+            val tBase = baseRuns.map(_._1).min
+            val ratio = if (name == "d5_embed_dedup" || name.startsWith("s")) embRatio else docRatio
+            val e = math.log(tMain / tBase) / math.log(ratio)
+            f"""\"$name\":{\"t_base\":$tBase%.3f,\"t_main\":$tMain%.3f,\"data_ratio\":$ratio%.1f,\"exponent\":$e%.2f}"""
+          }
         }
       }
       s""","scaling":{"base_sf":"$bd","ops":${entries.mkString("{", ",", "}")}}"""

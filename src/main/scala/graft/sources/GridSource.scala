@@ -38,8 +38,18 @@ class GridSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     def opt(k: String, d: Long): Long =
       Option(properties.get(k)).map(_.toLong).getOrElse(d)
-    new GridTable(opt("d0", 32), opt("d1", 16), opt("t0", 10), opt("t1", 16),
-      opt("s0", 1), opt("s1", 1), opt("a0", 0), opt("a1", 0))
+    // validate at table-resolution time, same contract as ArrayOps' slice
+    // entry points: step 0 would divide-by-zero in align() at plan time,
+    // a negative step would make the reader's stepping loop never reach
+    // its bound (unbounded row emission); a non-positive tile extent would
+    // divide-by-zero in tile enumeration.
+    val (s0, s1) = (opt("s0", 1), opt("s1", 1))
+    graft.Errors.requireStep(s0); graft.Errors.requireStep(s1)
+    val (t0, t1) = (opt("t0", 10), opt("t1", 16))
+    if (t0 < 1 || t1 < 1)
+      throw new graft.GraftBoundsError(s"tile extents must be >= 1: got ($t0, $t1)")
+    new GridTable(opt("d0", 32), opt("d1", 16), t0, t1,
+      s0, s1, opt("a0", 0), opt("a1", 0))
   }
 }
 
