@@ -46,6 +46,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d5 recall: bucketed LSH finds every exact all-pairs cosine>=0.45 pair") {
+    // The oracle replays the SAME bucketed plan, so the correctness gate
+    // proves engine equivalence but not recall — a plane-generation or
+    // bucketing bug that drops true near-dup pairs would pass on both
+    // engines. This is the ground-truth check: brute-force all-pairs
+    // cosine (test-only collect; the larger sf0.01 corpus, per ADVICE)
+    // vs d5's pair set.
+    val dir = "/root/testdata/sf0.01"
+    val e = Similarity.normed(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Double]]("emb").toArray, r.getAs[Double]("norm")))
+      .sortBy(_._1)
+    val truth = Set.newBuilder[(Long, Long)]
+    for (i <- e.indices; j <- i + 1 until e.length) {
+      val (ia, ea, na) = e(i); val (ib, eb, nb) = e(j)
+      var acc = 0.0; var d = 0
+      while (d < ea.length) { acc += ea(d) * eb(d); d += 1 }
+      if (acc / (na * nb) >= 0.45) truth += ((ia, ib))
+    }
+    val got = Dedup.d5EmbedDedup(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = truth.result()
+    assert(t.nonEmpty, "test data should contain embedding near-dups")
+    assert(got == t,
+      s"d5 recall regression: missed ${t -- got}, spurious ${got -- t}")
+  }
+
   test("s1 knn: neighbors are truly the top-k (spot-check query 0)") {
     val e = Similarity.normed(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"),
