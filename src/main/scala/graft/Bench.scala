@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** The driver captures only the last ~2000 chars of the run's stdout and
+    * json-parses the bench line out of that tail; round 3's line (full
+    * double precision + the inline scaling block) was ~3.8 KB, so the
+    * front of the line fell off the capture and the driver recorded
+    * `parsed: null`. The stdout line is therefore a compact summary —
+    * 2-decimal per-query seconds, no scaling block — sized (and
+    * spec-guarded, BenchFormatSpec) to fit the tail with the sbt
+    * `[success]` trailer behind it. Full-precision timings, run metadata
+    * and the scaling exponents go to [[FullPath]] for the judge.
+    */
+  val FullPath = "BENCH_FULL.json"
+
+  def compactLine(queries: Seq[(String, Double)], failed: Seq[String],
+                  total: Double, sfDir: String): String = {
+    val qs = queries.map { case (k, v) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
+    // failure names are capped so a mass failure can't push the line out
+    // of the capture window — the full list is in FullPath (documented in
+    // SURVEY §8; no inline pointer, every byte counts here)
+    val shown = failed.take(2).map("\"" + _ + "\"") ++
+      (if (failed.length > 2) Seq("\"+" + (failed.length - 2) + "\"") else Nil)
+    val fl = shown.mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,8 +56,8 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failed = results.collect { case (k, _, false) => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // --- scaling pass: re-time the pipeline (d/s) families at a smaller
@@ -72,7 +98,12 @@ object Bench {
       s""","scaling":{"base_sf":"$bd","ops":${entries.mkString("{", ",", "}")}}"""
     }.getOrElse("")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$Runs,"timing":"min","failed":$failed,"sf":"$sfDir"$scaling}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$Runs,"timing":"min","failed":$failedJson,"sf":"$sfDir"$scaling}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(FullPath),
+      (full + "\n").getBytes("UTF-8"))
+
+    println(compactLine(results.map(r => (r._1, r._2)), failed, total, sfDir))
     spark.stop()
   }
 }
