@@ -1,0 +1,30 @@
+package graft
+
+/** Local iteration helper: time one operator at one SF without running the
+  * whole bench. `runMain graft.TimeOp <name>[,<name>...] [sfDir] [runs]`.
+  */
+object TimeOp {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.entry(spark).count() // session warm-up, as in Bench
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[timeop] $name rows=${times.head._2} " +
+        times.map(t => f"${t._1}%.3f").mkString("times=[", ", ", "]") +
+        f" min=${times.map(_._1).min}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -253,15 +253,37 @@ object Dedup {
   val MaxShingleDf = 10
 
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val shAll = hashedShingles(s, dir)
-    val rare = shAll.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("h")
-    val sh = shAll.join(rare, Seq("h")).select("doc_id", "h")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val l = sh.as("l"); val r = sh.as("r")
-    val inter = l.join(r, col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    import s.implicits._
+    // ONE shuffle of the shingle table, by fingerprint: collect_set gives
+    // each shingle its distinct doc list (partial agg collapses repeats
+    // map-side), and both downstream needs come off that same exchange —
+    //   pairs: df-capped lists explode to their C(df,2) doc pairs
+    //   sizes: per-doc rare-shingle counts (df<=cap, including singletons)
+    // This replaces the round-2 shape (distinct + df pre-agg + semi-join +
+    // self-join = three shuffles by the same key) and keeps its skew
+    // guarantee: the cap bounds any one shingle's fan-out at C(cap,2), so
+    // a viral boilerplate shingle can't square the shuffle. The pair
+    // explosion is a typed flatMap on the few df>=2 survivors (a column
+    // filter runs first; the deserialization touches only those rows).
+    val grouped = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
+      .groupBy("h").agg(collect_set(col("doc_id")).as("docs"))
+    val inter = grouped
+      .filter(size(col("docs")).between(2, MaxShingleDf))
+      .select("docs").as[Seq[Long]]
+      .flatMap { docs =>
+        val a = docs.toArray.sorted
+        for { i <- a.indices.iterator; j <- (i + 1) until a.length }
+          yield (a(i), a(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sizes = grouped
+      .filter(size(col("docs")) <= MaxShingleDf)
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
