@@ -14,17 +14,33 @@ object Bench {
     */
   val FullPath = "BENCH_FULL.json"
 
+  /** Reserve room for sbt's `[success] Total time: ...` trailer inside the
+    * same 2000-char window.
+    */
+  val LineBudget = 1900
+
   def compactLine(queries: Seq[(String, Double)], failed: Seq[String],
                   total: Double, sfDir: String): String = {
-    val qs = queries.map { case (k, v) => f""""$k":$v%.2f""" }
-      .mkString("{", ",", "}")
     // failure names are capped so a mass failure can't push the line out
     // of the capture window — the full list is in FullPath (documented in
     // SURVEY §8; no inline pointer, every byte counts here)
     val shown = failed.take(2).map("\"" + _ + "\"") ++
       (if (failed.length > 2) Seq("\"+" + (failed.length - 2) + "\"") else Nil)
     val fl = shown.mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+    // sf as the directory basename: the driver sets the dir itself; the
+    // full path is in FullPath
+    val sf = new java.io.File(sfDir).getName
+    def render(prec: Int): String = {
+      val qs = queries.map { case (k, v) => s""""$k":${s"%.${prec}f".format(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sf"}"""
+    }
+    // 10ms resolution normally; degrade stepwise (100ms, then whole
+    // seconds) only if the line would outgrow the capture — full
+    // precision always lives in FullPath
+    (2 to 0 by -1).iterator.map(render)
+      .find(_.length <= LineBudget)
+      .getOrElse(render(0))
   }
 
   def main(args: Array[String]): Unit = {

@@ -33,8 +33,12 @@ object Dedup {
   val permA: Seq[Long] = (0 until NumPerm).map(j => (((j + 1) * 2654435761L) % P) | 1L)
   val permB: Seq[Long] = (0 until NumPerm).map(j => ((j + 1) * 40503L * 65537L + 12345L) % P)
 
-  /** 3-word shingles of the space-tokenized text (set semantics). */
-  private def shingleCol: Column =
+  /** 3-word shingles of the space-tokenized text (set semantics). Public:
+    * st7's stream-static decontamination shares the shingling (it must
+    * dedupe per-row via array_distinct instead of a global distinct — a
+    * streaming plan allows only one aggregation).
+    */
+  def shingleCol: Column =
     when(size(col("toks")) >= 3,
       expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
       .otherwise(array(concat_ws(" ", col("toks"))))
@@ -502,24 +506,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected-components CTE chain (sym/reach/lbl over `pairs`) — the
+    * transitive-closure oracle shared by d7 (group listing) and d10
+    * (corpus purge).
+    */
+  private val ccSql: String =
+    """sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      |lbl AS (
+      |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id
+      |  FROM reach GROUP BY a)""".stripMargin
+
   val d7Sql: String =
     s"""WITH RECURSIVE $signaturesSql,
        |$pairsSql,
-       |sym AS (
-       |  SELECT doc_a AS a, doc_b AS b FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT a, b FROM sym
-       |  UNION
-       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-       |lbl AS (
-       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS group_id
-       |  FROM reach GROUP BY a)
+       |$ccSql
        |SELECT doc_id, group_id, group_size
        |FROM lbl JOIN (
        |  SELECT group_id, COUNT(*) AS group_size FROM lbl GROUP BY group_id)
        |  USING (group_id)
        |ORDER BY doc_id""".stripMargin
+
+  // --- d10_dedup_purge: end-to-end corpus purge report --------------------
+  // The product of the whole dedup family: candidate pairs (d2's LSH) →
+  // duplicate groups (d7's connected components) → keeper selection (the
+  // group's min doc_id survives) → per-source purge report. This is what a
+  // pipeline operator actually ships — "what fraction of each source was
+  // near-duplicate" — and it composes the scale-correct pieces: the corpus
+  // is touched once more with a LEFT join against the (tiny) group-label
+  // table, then one partial-agg'd rollup by source. At 100 TB the label
+  // table is ~(dup docs) rows, orders of magnitude smaller than the
+  // corpus — broadcastable; nothing all-pairs, nothing driver-side.
+  def d10DedupPurge(s: SparkSession, dir: String): DataFrame = {
+    val labels = d7DupGroups(s, dir).select("doc_id", "group_id")
+    Tables.documents(s, dir)
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("dropped",
+        col("group_id").isNotNull && col("group_id") =!= col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .withColumn("drop_rate",
+        col("n_dropped").cast("double") / col("n_docs").cast("double"))
+      .select("source", "n_docs", "n_dropped", "n_kept", "drop_rate")
+      .orderBy("source")
+  }
+
+  val d10Sql: String =
+    s"""WITH RECURSIVE $signaturesSql,
+       |$pairsSql,
+       |$ccSql
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  COUNT(*) - CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS drop_rate
+       |FROM (
+       |  SELECT d.source,
+       |    (l.group_id IS NOT NULL AND l.group_id <> d.doc_id) AS dropped
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   // --- d8_mixture_sample: deterministic domain mixing ---------------------
   // The sampling stage of a training-data pipeline: each source gets a
@@ -620,6 +672,7 @@ object Dedup {
     "d7_dup_groups" -> (d7DupGroups _),
     "d8_mixture_sample" -> (d8MixtureSample _),
     "d9_decontaminate" -> (d9Decontaminate _),
+    "d10_dedup_purge" -> (d10DedupPurge _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -632,5 +685,6 @@ object Dedup {
     "d7_dup_groups" -> d7Sql,
     "d8_mixture_sample" -> d8Sql,
     "d9_decontaminate" -> d9Sql,
+    "d10_dedup_purge" -> d10Sql,
   )
 }

@@ -313,11 +313,51 @@ object Similarity {
        |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
+  // --- s5_ann_recall: ANN quality evaluation (recall@k vs exact) ----------
+  // The operator every production ANN deployment runs continuously:
+  // recall@k of the approximate index against the exact baseline on a
+  // query sample. Composes s1 (ground truth) and s2 (LSH) as distributed
+  // sub-plans — both sides stay DataFrames, the hit-join is on the tiny
+  // (q_id, neighbor_id) result sets, and at 100 TB the query SAMPLE is
+  // what's evaluated (both sub-plans broadcast the sample, never move the
+  // vector table). k = s2's in-bucket top-3.
+  val RecallK = 3
+
+  def s5AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = s1KnnBrute(s, dir).filter(col("rnk") <= RecallK)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = s2LshAnn(s, dir)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("k").cast("double"))
+      .select("q_id", "k", "n_hit", "recall")
+      .orderBy("q_id")
+  }
+
+  /** s1/s2 statements embedded as nested-WITH CTEs (DuckDB allows a full
+    * WITH...SELECT inside a CTE body).
+    */
+  val s5Sql: String =
+    s"""WITH exact AS ($s1Sql),
+       |approx AS ($s2Sql)
+       |SELECT e.q_id, COUNT(*) AS k,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM (SELECT q_id, neighbor_id FROM exact WHERE rnk <= $RecallK) e
+       |LEFT JOIN approx a ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_lsh_ann" -> (s2LshAnn _),
     "s3_ivf_ann" -> (s3IvfAnn _),
     "s4_sq_ann" -> (s4SqAnn _),
+    "s5_ann_recall" -> (s5AnnRecall _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,5 +365,6 @@ object Similarity {
     "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql,
     "s4_sq_ann" -> s4Sql,
+    "s5_ann_recall" -> s5Sql,
   )
 }

@@ -210,6 +210,64 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- t7_repetition: Gopher-style repetition signals ---------------------
+  // The repetition family of quality filters (Rae et al. 2021 "Scaling
+  // Language Models", table A1): templated/spammy text shows a high
+  // duplicate-n-gram fraction and a single dominant n-gram. Word bigrams
+  // here (the corpus has no line structure; token-level diversity is t6's
+  // TTR). Two-phase aggregation — count per (doc, bigram-fingerprint),
+  // then per doc — so no token list is ever materialized per row; bigrams
+  // are fingerprinted to u32 before the shuffle (8-byte keys, hash
+  // mirrored in the oracle). Both fractions are single IEEE divisions of
+  // exact longs — bit-identical on both engines.
+  val RepetitionThreshold = 0.2
+
+  def t7Repetition(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("g"))
+      .select(col("doc_id"), graft.functions.GenKey(col("g")).as("h"))
+    bigrams
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+           count(lit(1)).as("n_distinct_bigrams"),
+           max(col("c")).as("top_count"))
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+      .withColumn("top_bigram_frac",
+        col("top_count").cast("double") / col("n_bigrams"))
+      .withColumn("repetitive", col("dup_bigram_frac") > RepetitionThreshold)
+      .select("doc_id", "n_bigrams", "n_distinct_bigrams", "top_count",
+              "dup_bigram_frac", "top_bigram_frac", "repetitive")
+      .orderBy("doc_id")
+  }
+
+  val t7Sql: String = {
+    val h = graft.arrays.HashRing.duckGenKey("g")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |big AS (
+       |  SELECT doc_id, $h AS h FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(toks) >= 2
+       |           THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |           ELSE [] END) AS g
+       |    FROM t)),
+       |bic AS (SELECT doc_id, h, COUNT(*) AS c FROM big GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    COUNT(*) AS n_distinct_bigrams, MAX(c) AS top_count
+       |  FROM bic GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, n_distinct_bigrams, top_count,
+       |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+       |  CAST(top_count AS DOUBLE) / n_bigrams AS top_bigram_frac,
+       |  CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams > $RepetitionThreshold AS repetitive
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_top_terms" -> (t5TopTerms _),
     "t1_langid" -> (t1Langid _),
@@ -217,6 +275,7 @@ object TextAnalysis {
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t6_type_token_ratio" -> (t6TypeTokenRatio _),
+    "t7_repetition" -> (t7Repetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -226,5 +285,6 @@ object TextAnalysis {
     "t3_token_count" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
     "t6_type_token_ratio" -> t6Sql,
+    "t7_repetition" -> t7Sql,
   )
 }

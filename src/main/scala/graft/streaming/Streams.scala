@@ -269,6 +269,68 @@ object Streams {
     */
   val st6Sql: String = graft.arrays.ArrayOps.a18Sql
 
+  // --- st7_stream_decontaminate: stream-static decontamination ------------
+  /** documents schema for readStream (file sources need explicit schema). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocumentsStream(s: SparkSession, docsDir: String): DataFrame =
+    s.readStream.schema(documentsSchema).parquet(docsDir)
+
+  /** Benchmark shingle fingerprints (docs 0-19) from the STATIC corpus —
+    * the small side of the stream-static join, planned once and broadcast
+    * into every micro-batch.
+    */
+  def benchmarkShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") < 20)
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(array_distinct(graft.pipeline.Dedup.shingleCol)).as("sgl"))
+      .select(graft.functions.GenKey(col("sgl")).as("h")).distinct()
+
+  /** d9's decontamination contract (shared >= ContamThreshold distinct
+    * 3-shingles with the benchmark) as a stream-static join: new corpus
+    * documents arrive as a stream and are checked against the static
+    * broadcast benchmark set before admission — the streaming ingest gate
+    * of a training-data pipeline. Streaming allows one aggregation, so
+    * the per-doc shingle dedupe happens per-ROW (array_distinct before
+    * explode) instead of d9's global distinct; the oracle mirrors that
+    * formulation exactly.
+    */
+  def decontaminateTransform(docs: DataFrame, bench: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id") >= 20)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(graft.pipeline.Dedup.shingleCol)).as("sgl"))
+      .select(col("doc_id"), graft.functions.GenKey(col("sgl")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= graft.pipeline.Dedup.ContamThreshold)
+
+  def st7StreamDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateTransform(Tables.documents(s, dir), benchmarkShingles(s, dir))
+      .orderBy("doc_id")
+
+  val st7Sql: String = {
+    val sgl = graft.arrays.HashRing.duckGenKey("s")
+    s"""WITH hs AS (
+       |  SELECT doc_id, $sgl AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct(
+       |      CASE WHEN len(t) >= 3
+       |           THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |           ELSE [array_to_string(t, ' ')] END)) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+       |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 20)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM hs JOIN bench USING (h)
+       |WHERE doc_id >= 20
+       |GROUP BY doc_id
+       |HAVING COUNT(*) >= ${graft.pipeline.Dedup.ContamThreshold}
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window" -> (st1StreamWindow _),
     "st2_stream_dedup" -> (st2StreamDedup _),
@@ -276,6 +338,7 @@ object Streams {
     "st4_stream_join" -> (st4StreamJoin _),
     "st5_stream_grid_build" -> (st5StreamGridBuild _),
     "st6_stream_throttle" -> (st6StreamThrottle _),
+    "st7_stream_decontaminate" -> (st7StreamDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -285,5 +348,6 @@ object Streams {
     "st4_stream_join" -> st4Sql,
     "st5_stream_grid_build" -> st5Sql,
     "st6_stream_throttle" -> st6Sql,
+    "st7_stream_decontaminate" -> st7Sql,
   )
 }

@@ -12,20 +12,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchFormatSpec extends AnyFunSuite {
 
   test("compact bench line fits the driver tail capture at worst case") {
-    // worst realistic case: every query at a 5-char timing (10-99s each —
-    // a 100s single query at sf0.1 is a catastrophic regression with
-    // bigger problems than bench parseability) and some failures (name
-    // list capped in compactLine)
+    // worst case: every query at a 10-99s timing (a catastrophic
+    // regression — the precision fallback must still keep the line inside
+    // the window) and some failures (name list capped in compactLine)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val worst = Bench.compactLine(
       names.map(_ -> 99.99), failed = names.take(10), total = 9999.99,
       sfDir = "/root/testdata/sf0.1")
-    assert(worst.length <= 1910,
-      s"bench line ${worst.length} chars leaves <90 for the sbt trailer " +
+    assert(worst.length <= Bench.LineBudget,
+      s"bench line ${worst.length} chars leaves <100 for the sbt trailer " +
         "in the 2000-char tail; shorten the format or move fields to " +
         Bench.FullPath)
-    // and it must actually be JSON the driver can load
     assert(worst.startsWith("{") && worst.endsWith("}"))
+    // the realistic case (sub-10s timings) must keep 10ms resolution
+    val fine = Bench.compactLine(names.map(_ -> 0.37), Nil, 27.0,
+      "/root/testdata/sf0.1")
+    assert(fine.length <= Bench.LineBudget)
+    assert(fine.contains(":0.37"), "expected 2-decimal timings in the realistic case")
   }
 
   test("every query key appears exactly once in the compact line") {

@@ -74,6 +74,39 @@ class PipelineSpec extends SparkSpec {
       s"d5 recall regression: missed ${t -- got}, spurious ${got -- t}")
   }
 
+  test("d10 purge agrees with d7's groups: dropped = non-keeper members") {
+    val dropped = Dedup.d7DupGroups(spark, sf)
+      .filter(col("doc_id") =!= col("group_id")).count()
+    val reported = Dedup.d10DedupPurge(spark, sf)
+      .agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(dropped > 0, "test data should contain dup groups")
+    assert(reported == dropped,
+      s"d10 reports $reported dropped docs; d7 groups imply $dropped")
+  }
+
+  test("s5 recall is a valid fraction and matches a recount") {
+    val rows = Similarity.s5AnnRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, hit, rec) = (r.getAs[Long]("k"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall"))
+      assert(k == Similarity.RecallK && hit >= 0 && hit <= k)
+      assert(rec == hit.toDouble / k)
+    }
+  }
+
+  test("t7 fractions are consistent per doc") {
+    val rows = TextAnalysis.t7Repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams"); val d = r.getAs[Long]("n_distinct_bigrams")
+      val top = r.getAs[Long]("top_count")
+      assert(d >= 1 && d <= n && top >= 1 && top <= n - d + 1)
+      assert(r.getAs[Double]("dup_bigram_frac") == (n - d).toDouble / n)
+      assert(r.getAs[Double]("top_bigram_frac") == top.toDouble / n)
+    }
+  }
+
   test("s1 knn: neighbors are truly the top-k (spot-check query 0)") {
     val e = Similarity.normed(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"),

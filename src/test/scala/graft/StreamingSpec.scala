@@ -155,4 +155,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.groupBy("user_id", "event_type").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("st7: stream-static decontamination converges to the batch result") {
+    // streaming corpus side, STATIC broadcast benchmark side — the
+    // stream-static join shape (the static plan re-executes per
+    // micro-batch; the stream never shuffles by shingle)
+    val docsDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents.parquet"))
+      d.toString
+    }
+    val stream = Streams.readDocumentsStream(spark, docsDir)
+    val bench = Streams.benchmarkShingles(spark, sf)
+    val q = Streams.decontaminateTransform(stream, bench)
+      .writeStream.format("memory").queryName("st7_mem")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st7_mem")
+    val batch = Streams.st7StreamDecontaminate(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "stream-static decontamination != batch decontamination")
+  }
 }
