@@ -8,9 +8,12 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   /** Queries whose driver-side iteration (localCheckpoint) executes jobs
-    * during planning — audited by their building blocks instead.
+    * during planning — audited by their building blocks instead. d10
+    * composes d7's iterative component assembly, so its construction
+    * legitimately runs d7's per-round jobs; its own purge stage is the
+    * broadcast-join shape audited below.
     */
-  private val iterative = Set("d7_dup_groups")
+  private val iterative = Set("d7_dup_groups", "d10_dedup_purge")
 
   test("no operator plans a non-broadcast cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -29,24 +32,24 @@ class PlanAuditSpec extends SparkSpec {
   test("constructing an operator's DataFrame launches no Spark jobs") {
     // Driver-side materialization (collect/count during query CONSTRUCTION,
     // as d5 once did) is invisible in the plan text but fatal at scale: it
-    // pulls a table through the driver before the query even runs. Billing
-    // jobs to the op under construction catches any eager action.
+    // pulls a table through the driver before the query even runs.
     arrays.ArrayModel.cellsStored(spark, sf).count() // one-time layout ETL
-    // spark.read launches tiny footer/schema-inference jobs ("parquet at
-    // ...", "load at ...") — metadata, fine. An ACTION call site (collect
-    // at / count at / take at ...) during construction is the scale bug.
-    val eager = Set("collect", "collectAsList", "count", "take", "head",
-      "first", "reduce", "fold", "isEmpty", "foreach", "foreachPartition",
-      "toLocalIterator", "checkpoint", "localCheckpoint")
+    // Spark 4 no longer sets callSite.short on job properties, and AQE
+    // runs actions on an async pool that loses the user stack — so the
+    // robust invariant is stack-shape allowlisting via StageInfo.details:
+    // the ONLY jobs construction may launch are parquet footer/schema
+    // reads (a DataFrameReader frame). Any other job — a sync Dataset
+    // action frame or an opaque async-execution stack — means an eager
+    // action ran while the query was being BUILT.
     val started = new scala.collection.concurrent.TrieMap[Int, String]()
     @volatile var current = ""
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .map(_.getProperty("callSite.short", "")).getOrElse("")
-        if (eager.contains(site.split(" at ").head.trim))
-          started.put(js.jobId, s"$current ($site)")
+        val stack = js.stageInfos.map(_.details).mkString("\n")
+        if (!stack.contains("DataFrameReader"))
+          started.put(js.jobId,
+            s"$current (${stack.linesIterator.take(2).mkString(" / ")})")
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -96,6 +99,28 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"$name: a slice read must not shuffle:\n$plan")
     }
+  }
+
+  test("pipeline joins against sub-linear sides are broadcast") {
+    // Each of these ops joins the corpus/vector table against a side that
+    // stays tiny at any corpus scale (benchmark shingles, query samples,
+    // centroids, term-df); if that join ever degrades to a sort-merge,
+    // the big side shuffles — a silent 100 TB regression.
+    val expectBroadcast = Seq("d9_decontaminate", "t5_top_terms",
+      "s1_knn_brute", "s2_lsh_ann", "s3_ivf_ann", "s4_sq_ann",
+      "s5_ann_recall", "st7_stream_decontaminate")
+    expectBroadcast.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastExchange"),
+        s"$n should broadcast its small side:\n${plan.take(800)}")
+    }
+    // d10 (iterative construction, excluded above): its purge stage must
+    // broadcast the group-label table against the corpus
+    val d10 = SparkEntry.queries("d10_dedup_purge")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(d10.contains("BroadcastExchange"),
+      s"d10's label join should broadcast:\n${d10.take(800)}")
   }
 
   test("no operator falls back to interpreted ScalaUDF in its plan") {
