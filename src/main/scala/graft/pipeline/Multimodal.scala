@@ -119,11 +119,125 @@ object Multimodal {
        |  WHERE f % $SampleEvery = 0)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- m3_resize ----------------------------------------------------------
+  // Image-style resize over the binary payload: the stub decoder's
+  // (width, height) raster is downsampled 2x by strided byte sampling
+  // (index (2y·src_w + 2x) mod n_bytes), emitting the new dims and a
+  // checksum of the sampled bytes. A real deployment replaces the sampler
+  // with the codec's scaler; the Spark side — typed binary in, metadata
+  // out, init-once per partition — is the real contract.
+  case class ResizeMeta(doc_id: Long, src_w: Long, src_h: Long,
+                        dst_w: Long, dst_h: Long, thumb_checksum: Long)
+
+  def m3Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[DocBlob]
+      .mapPartitions { it =>
+        it.map { b =>
+          val m = stubDecode(b)
+          val (dw, dh) = (math.max(1L, m.width / 2), math.max(1L, m.height / 2))
+          val nb = b.data.length
+          var sum = 0L
+          var i = 0L
+          val n = dw * dh
+          while (i < n) {
+            val x = i % dw; val y = i / dw
+            val idx = ((2 * y * m.width + 2 * x) % nb).toInt
+            sum += (b.data(idx) & 0xff)
+            i += 1
+          }
+          ResizeMeta(b.doc_id, m.width, m.height, dw, dh, sum)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // Octet-based oracle (see m1Sql): one list_reduce over the dst raster,
+  // each sample indexing the hex string at 2 chars/byte.
+  val m3Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, strlen(text) AS nb, hex(encode(text)) AS h,
+      |    16 + CAST(strlen(text) AS BIGINT) % 64 AS src_w,
+      |    16 + ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT % 32 AS src_h
+      |  FROM documents),
+      |dims AS (
+      |  SELECT doc_id, nb, h, src_w, src_h,
+      |    GREATEST(1, src_w // 2) AS dst_w, GREATEST(1, src_h // 2) AS dst_h
+      |  FROM base)
+      |SELECT doc_id, src_w, src_h, dst_w, dst_h,
+      |  CAST(list_reduce(list_prepend(0,
+      |    list_transform(range(0, dst_w * dst_h),
+      |      i -> ('0x' || substr(h,
+      |             2 * ((2 * (i // dst_w) * src_w + 2 * (i % dst_w)) % nb) + 1,
+      |             2))::BIGINT)),
+      |    (a, b) -> a + b) AS BIGINT) AS thumb_checksum
+      |FROM dims ORDER BY doc_id""".stripMargin
+
+  // --- m4_feature_extract -------------------------------------------------
+  // Feature extraction over the binary payload: a 16-bin byte histogram
+  // per document — the stand-in for an embedding/feature model over
+  // decoded media. Long-format output (one row per (doc, bin)) keeps the
+  // gate scalar-typed; the fraction is one IEEE division of exact longs.
+  // Same init-once mapPartitions shape; the histogram kernel is the slot
+  // where a real model's batch inference goes.
+  val FeatureBins = 16
+
+  case class FeatureRow(doc_id: Long, bin: Long, n: Long, frac: Double)
+
+  def m4FeatureExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[DocBlob]
+      .mapPartitions { it =>
+        it.flatMap { b =>
+          val hist = new Array[Long](FeatureBins)
+          var i = 0
+          while (i < b.data.length) {
+            hist(((b.data(i) & 0xff) * FeatureBins) / 256) += 1
+            i += 1
+          }
+          val total = b.data.length.toLong
+          (0 until FeatureBins).iterator.map { bin =>
+            FeatureRow(b.doc_id, bin.toLong, hist(bin),
+              hist(bin).toDouble / total)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "bin")
+  }
+
+  val m4Sql: String =
+    s"""WITH bytes AS (
+       |  SELECT doc_id, nb, ('0x' || substr(h, 2 * i + 1, 2))::BIGINT AS b
+       |  FROM (
+       |    SELECT doc_id, strlen(text) AS nb, hex(encode(text)) AS h,
+       |      unnest(range(0, strlen(text))) AS i
+       |    FROM documents)),
+       |hist AS (
+       |  SELECT doc_id, (b * $FeatureBins) // 256 AS bin, COUNT(*) AS n
+       |  FROM bytes GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT doc_id, strlen(text) AS nb, unnest(range(0, $FeatureBins)) AS bin
+       |  FROM documents)
+       |SELECT g.doc_id, g.bin, COALESCE(h.n, 0) AS n,
+       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / g.nb AS frac
+       |FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
+       |ORDER BY g.doc_id, g.bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal" -> (m1Multimodal _),
-    "m2_frame_sample" -> (m2FrameSample _))
+    "m2_frame_sample" -> (m2FrameSample _),
+    "m3_resize" -> (m3Resize _),
+    "m4_feature_extract" -> (m4FeatureExtract _))
 
   val oracles: Map[String, String] = Map(
     "m1_multimodal" -> m1Sql,
-    "m2_frame_sample" -> m2Sql)
+    "m2_frame_sample" -> m2Sql,
+    "m3_resize" -> m3Sql,
+    "m4_feature_extract" -> m4Sql)
 }
