@@ -12,7 +12,12 @@ package graft
 class DeterminismSpec extends SparkSpec {
 
   private val ops = Seq("q1_agg", "q3_topk", "q16_sessionize",
-    "a15_subset_stats", "d2_minhash_lsh", "d5_embed_dedup")
+    "a15_subset_stats", "d2_minhash_lsh", "d5_embed_dedup",
+    // round-4 additions: collect_set pair explosion (d4), iterative CC
+    // composed into a rollup (d10), typed-kernel flatMap (m4), and the
+    // two-phase bigram agg (t7)
+    "d4_ngram_jaccard", "d10_dedup_purge", "m4_feature_extract",
+    "t7_repetition")
 
   test("results are bit-identical across shuffle partition counts") {
     val key = "spark.sql.shuffle.partitions"
