@@ -493,12 +493,15 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("doc").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
         .groupBy(col("doc_a").as("doc")).agg(min(col("nlbl")).as("nbr_lbl"))
+      // carry the pre-round label through the checkpoint so convergence is
+      // a local scan of already-materialized partitions — not an extra
+      // join job against the previous round per iteration
       val next = labels.join(nbrMin, Seq("doc"))
-        .select(col("doc"), least(col("lbl"), col("nbr_lbl")).as("lbl"))
+        .select(col("doc"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
+                col("lbl").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc")
-        .filter(col("lbl") < col("old")).count()
-      labels = next
+      changed = next.filter(col("lbl") < col("old")).count()
+      labels = next.select("doc", "lbl")
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "lbl")
