@@ -155,10 +155,16 @@ object Dedup {
     * assembles candidate pairs into duplicate groups).
     */
   def candidatePairs(sig: DataFrame): DataFrame = {
+    // band key fingerprinted to u32 before the self-join: the raw key is a
+    // ~40-char concat of 4 signature values, the fingerprint is 8 bytes —
+    // the same shuffle-width win as the shingle family (the oracle applies
+    // the identical hash, so the negligible collision mass is mirrored;
+    // a colliding band pair just becomes one more LSH candidate for the
+    // downstream exact verify, which LSH tolerates by construction)
     val bands = sig
       .select(col("doc_id"), explode(array((0 until Bands).map(lit(_)): _*)).as("band"), col("sigs"))
-      .withColumn("bkey", concat_ws(",",
-        (1 to NumPerm / Bands).map(r => element_at(col("sigs"), col("band") * (NumPerm / Bands) + r)): _*))
+      .withColumn("bkey", graft.functions.GenKey(concat_ws(",",
+        (1 to NumPerm / Bands).map(r => element_at(col("sigs"), col("band") * (NumPerm / Bands) + r)): _*)))
       .select("doc_id", "band", "bkey")
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r,
@@ -168,10 +174,13 @@ object Dedup {
       .distinct()
   }
 
-  /** The pairs CTE chain shared by d2/d7 oracles (needs shingles+sigs). */
+  /** The pairs CTE chain shared by d2/d7/d10 oracles (needs shingles+sigs);
+    * mirrors candidatePairs' u32 band-key fingerprint.
+    */
   val pairsSql: String = {
     val rows = NumPerm / Bands
-    val bkey = (1 to rows).map(r => s"CAST(sigs[b * $rows + $r] AS VARCHAR)").mkString(" || ',' || ")
+    val bstr = (1 to rows).map(r => s"CAST(sigs[b * $rows + $r] AS VARCHAR)").mkString(" || ',' || ")
+    val bkey = HashRing.duckGenKey(s"($bstr)")
     s"""bands AS (
        |  SELECT doc_id, b AS band, $bkey AS bkey
        |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
