@@ -14,10 +14,10 @@ object Bench {
     */
   val FullPath = "BENCH_FULL.json"
 
-  /** Reserve room for sbt's `[success] Total time: ...` trailer inside the
-    * same 2000-char window.
+  /** Reserve room for sbt's `[success] Total time: ...` trailer (~80
+    * chars) inside the same 2000-char window.
     */
-  val LineBudget = 1900
+  val LineBudget = 1915
 
   def compactLine(queries: Seq[(String, Double)], failed: Seq[String],
                   total: Double, sfDir: String): String = {

@@ -268,6 +268,49 @@ object TextAnalysis {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // --- t8_quality_filter: the shipped filter stage ------------------------
+  // The text-family analogue of d10: curation pipelines don't apply
+  // signals one at a time, they ship ONE filter decision per document
+  // with an auditable reject reason. Composes t2 (quality score), t6
+  // (lexical diversity) and t7 (repetition) as sub-plans joined on
+  // doc_id — three per-doc aggregations co-partitioned on the same key,
+  // then a pure column-expression verdict. No new float arithmetic: the
+  // thresholds compare doubles both engines already agree on bit-exactly.
+  val MinQuality = 0.42
+  val MinTtr = 0.35
+  val MaxDupBigramFrac = 0.06
+
+  def t8QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val q = t2Quality(s, dir).select("doc_id", "quality")
+    val div = t6TypeTokenRatio(s, dir).select("doc_id", "ttr")
+    val rep = t7Repetition(s, dir).select("doc_id", "dup_bigram_frac")
+    q.join(div, "doc_id").join(rep, "doc_id")
+      .withColumn("keep",
+        col("quality") >= MinQuality && col("ttr") >= MinTtr &&
+          col("dup_bigram_frac") <= MaxDupBigramFrac)
+      .withColumn("reject_reason",
+        when(col("quality") < MinQuality, "low_quality")
+          .when(col("ttr") < MinTtr, "low_diversity")
+          .when(col("dup_bigram_frac") > MaxDupBigramFrac, "repetitive")
+          .otherwise("ok"))
+      .select("doc_id", "quality", "ttr", "dup_bigram_frac", "keep", "reject_reason")
+      .orderBy("doc_id")
+  }
+
+  val t8Sql: String =
+    s"""WITH t2r AS ($t2Sql),
+       |t6r AS ($t6Sql),
+       |t7r AS ($t7Sql)
+       |SELECT t2r.doc_id, quality, ttr, dup_bigram_frac,
+       |  quality >= $MinQuality AND ttr >= $MinTtr AND dup_bigram_frac <= $MaxDupBigramFrac AS keep,
+       |  CASE WHEN quality < $MinQuality THEN 'low_quality'
+       |       WHEN ttr < $MinTtr THEN 'low_diversity'
+       |       WHEN dup_bigram_frac > $MaxDupBigramFrac THEN 'repetitive'
+       |       ELSE 'ok' END AS reject_reason
+       |FROM t2r JOIN t6r ON t2r.doc_id = t6r.doc_id
+       |         JOIN t7r ON t2r.doc_id = t7r.doc_id
+       |ORDER BY t2r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_top_terms" -> (t5TopTerms _),
     "t1_langid" -> (t1Langid _),
@@ -276,6 +319,7 @@ object TextAnalysis {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t6_type_token_ratio" -> (t6TypeTokenRatio _),
     "t7_repetition" -> (t7Repetition _),
+    "t8_quality_filter" -> (t8QualityFilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,5 +330,6 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Sql,
     "t6_type_token_ratio" -> t6Sql,
     "t7_repetition" -> t7Sql,
+    "t8_quality_filter" -> t8Sql,
   )
 }

@@ -20,7 +20,7 @@ class BenchFormatSpec extends AnyFunSuite {
       names.map(_ -> 99.99), failed = names.take(10), total = 9999.99,
       sfDir = "/root/testdata/sf0.1")
     assert(worst.length <= Bench.LineBudget,
-      s"bench line ${worst.length} chars leaves <100 for the sbt trailer " +
+      s"bench line ${worst.length} chars leaves <85 for the sbt trailer " +
         "in the 2000-char tail; shorten the format or move fields to " +
         Bench.FullPath)
     assert(worst.startsWith("{") && worst.endsWith("}"))
