@@ -156,8 +156,11 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // tf is already one row per (doc, tok), so df = tf's group count per
+    // tok — deriving it from tf instead of a second explode+distinct
+    // saves a full corpus scan and its shuffle; the (doc,tok)→tok agg is
+    // over the much smaller tf table
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
     tf.join(broadcast(df), "tok")
