@@ -180,4 +180,17 @@ class StreamingSpec extends SparkSpec {
            batch.except(streamed).count() == 0,
       "stream-static decontamination != batch decontamination")
   }
+
+  test("st7 batch form agrees with d9: the ingest gate matches the batch decontaminator") {
+    // Intentional contract, not duplication: d9 runs on the family's
+    // global hash-distinct corpus representation, st7 on the per-row
+    // (streaming-legal) formulation. A document admitted by the streaming
+    // gate but dropped by the batch decontaminator (or vice versa) would
+    // silently split the corpus between the two ingest paths.
+    val d9 = graft.pipeline.Dedup.d9Decontaminate(spark, sf)
+    val st7 = Streams.st7StreamDecontaminate(spark, sf)
+    assert(st7.count() > 0)
+    assert(st7.except(d9).count() == 0 && d9.except(st7).count() == 0,
+      "streaming ingest gate disagrees with the batch decontaminator")
+  }
 }
