@@ -189,6 +189,51 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assert(ldf.filter(col("dot") =!= col("ref")).count() == 0)
   }
 
+  test("DotProduct validation: length mismatch and null elements raise; wrong types fail analysis") {
+    import graft.functions.DotProduct
+    // length mismatch: must raise, not read past the shorter array
+    val mismatch = spark.range(1)
+      .withColumn("a", expr("array(1.0d, 2.0d, 3.0d)"))
+      .withColumn("b", expr("array(1.0d, 2.0d)"))
+      .withColumn("dot", DotProduct(col("a"), col("b")))
+    val e1 = intercept[Exception](mismatch.collect())
+    assert(e1.getMessage != null &&
+      (e1.getMessage.contains("length mismatch") ||
+       Option(e1.getCause).exists(_.getMessage.contains("length mismatch"))),
+      s"expected length-mismatch error, got: ${e1.getMessage}")
+    // null element: must raise, not silently read garbage
+    val withNull = spark.range(1)
+      .withColumn("a", expr("array(1.0d, CAST(NULL AS DOUBLE))"))
+      .withColumn("b", expr("array(1.0d, 2.0d)"))
+      .withColumn("dot", DotProduct(col("a"), col("b")))
+    val e2 = intercept[Exception](withNull.collect())
+    assert(e2.getMessage != null &&
+      (e2.getMessage.contains("null element") ||
+       Option(e2.getCause).exists(_.getMessage.contains("null element"))),
+      s"expected null-element error, got: ${e2.getMessage}")
+    // non-array / wrong element type: rejected at analysis, not at runtime
+    val badType = spark.range(1)
+      .withColumn("a", expr("array(1, 2)")) // ints, not doubles
+      .withColumn("b", expr("array(1.0d, 2.0d)"))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      badType.withColumn("dot", DotProduct(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("GridSource validation: zero/negative steps and bad tile extents rejected at resolution") {
+    def read(opts: (String, String)*): Unit = {
+      val r = spark.read.format("graft.sources.GridSource")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load().collect()
+    }
+    // s0=0 would divide-by-zero in align(); s1<0 would never terminate
+    // the reader loop; t0=0 would divide-by-zero in tile enumeration
+    assertThrows[graft.GraftBoundsError](read("s0" -> "0"))
+    assertThrows[graft.GraftBoundsError](read("s1" -> "-2"))
+    assertThrows[graft.GraftBoundsError](read("t0" -> "0"))
+    // sane options still read
+    read("s0" -> "2", "s1" -> "3")
+  }
+
   test("GraftSession: cluster config set is wired (extensions, overwrite mode)") {
     // spark.sql.extensions is a STATIC conf: it only takes effect on a
     // fresh SparkContext (as on a real cluster); on the shared test
