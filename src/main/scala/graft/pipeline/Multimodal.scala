@@ -140,13 +140,17 @@ object Multimodal {
           val (dw, dh) = (math.max(1L, m.width / 2), math.max(1L, m.height / 2))
           val nb = b.data.length
           var sum = 0L
-          var i = 0L
-          val n = dw * dh
-          while (i < n) {
-            val x = i % dw; val y = i / dw
-            val idx = ((2 * y * m.width + 2 * x) % nb).toInt
-            sum += (b.data(idx) & 0xff)
-            i += 1
+          // empty payload: nothing to sample (guards % 0), checksum 0 —
+          // mirrored by the oracle's CASE WHEN nb = 0
+          if (nb > 0) {
+            var i = 0L
+            val n = dw * dh
+            while (i < n) {
+              val x = i % dw; val y = i / dw
+              val idx = ((2 * y * m.width + 2 * x) % nb).toInt
+              sum += (b.data(idx) & 0xff)
+              i += 1
+            }
           }
           ResizeMeta(b.doc_id, m.width, m.height, dw, dh, sum)
         }
@@ -161,19 +165,21 @@ object Multimodal {
     """WITH base AS (
       |  SELECT doc_id, strlen(text) AS nb, hex(encode(text)) AS h,
       |    16 + CAST(strlen(text) AS BIGINT) % 64 AS src_w,
-      |    16 + ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT % 32 AS src_h
+      |    16 + CAST(CASE WHEN strlen(text) = 0 THEN 0
+      |                   ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+      |              END AS BIGINT) % 32 AS src_h
       |  FROM documents),
       |dims AS (
       |  SELECT doc_id, nb, h, src_w, src_h,
       |    GREATEST(1, src_w // 2) AS dst_w, GREATEST(1, src_h // 2) AS dst_h
       |  FROM base)
       |SELECT doc_id, src_w, src_h, dst_w, dst_h,
-      |  CAST(list_reduce(list_prepend(0,
+      |  CAST(CASE WHEN nb = 0 THEN 0 ELSE list_reduce(list_prepend(0,
       |    list_transform(range(0, dst_w * dst_h),
       |      i -> ('0x' || substr(h,
       |             2 * ((2 * (i // dst_w) * src_w + 2 * (i % dst_w)) % nb) + 1,
       |             2))::BIGINT)),
-      |    (a, b) -> a + b) AS BIGINT) AS thumb_checksum
+      |    (a, b) -> a + b) END AS BIGINT) AS thumb_checksum
       |FROM dims ORDER BY doc_id""".stripMargin
 
   // --- m4_feature_extract -------------------------------------------------
@@ -202,8 +208,9 @@ object Multimodal {
           }
           val total = b.data.length.toLong
           (0 until FeatureBins).iterator.map { bin =>
+            // empty payload: frac 0.0, not 0/0 NaN (oracle mirrors)
             FeatureRow(b.doc_id, bin.toLong, hist(bin),
-              hist(bin).toDouble / total)
+              if (total == 0) 0.0 else hist(bin).toDouble / total)
           }
         }
       }
@@ -225,7 +232,8 @@ object Multimodal {
        |  SELECT doc_id, strlen(text) AS nb, unnest(range(0, $FeatureBins)) AS bin
        |  FROM documents)
        |SELECT g.doc_id, g.bin, COALESCE(h.n, 0) AS n,
-       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / g.nb AS frac
+       |  CASE WHEN g.nb = 0 THEN 0.0
+       |       ELSE CAST(COALESCE(h.n, 0) AS DOUBLE) / g.nb END AS frac
        |FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
        |ORDER BY g.doc_id, g.bin""".stripMargin
 

@@ -107,6 +107,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("m3/m4 survive a zero-length payload (no div-by-zero, no NaN)") {
+    // not in the synthetic corpus, but a real one has empty documents;
+    // m3's modulo indexing and m4's fraction must degrade to 0, matching
+    // the oracles' CASE WHEN nb = 0 branches
+    val d = java.nio.file.Files.createTempDirectory("graft-emptytext").toString
+    Tables.documents(spark, sf).limit(1)
+      .withColumn("text", lit(""))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val m3 = Multimodal.m3Resize(spark, d).collect()
+    assert(m3.length == 1 && m3(0).getAs[Long]("thumb_checksum") == 0L)
+    val m4 = Multimodal.m4FeatureExtract(spark, d).collect()
+    assert(m4.length == Multimodal.FeatureBins)
+    m4.foreach { r =>
+      assert(r.getAs[Long]("n") == 0L && r.getAs[Double]("frac") == 0.0)
+    }
+  }
+
   test("s1 knn: neighbors are truly the top-k (spot-check query 0)") {
     val e = Similarity.normed(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"),
