@@ -36,11 +36,15 @@ object Bench {
       s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sf"}"""
     }
     // 10ms resolution normally; degrade stepwise (100ms, then whole
-    // seconds) only if the line would outgrow the capture — full
-    // precision always lives in FullPath
+    // seconds), and as the guaranteed-fit last resort drop the per-query
+    // map entirely — a line whose head falls out of the capture window is
+    // worth less than a short one (full precision always lives in
+    // FullPath)
+    def noQueries: String =
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{},"failed":$fl,"sf":"$sf","note":"per-query timings in $FullPath"}"""
     (2 to 0 by -1).iterator.map(render)
       .find(_.length <= LineBudget)
-      .getOrElse(render(0))
+      .getOrElse(noQueries)
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,8 +105,11 @@ object Bench {
           val ok = try { fn(spark, bd).count(); true } catch { case _: Throwable => false }
           ((System.nanoTime() - t0) / 1e9, ok)
         }
-        results.find(_._1 == name).map { case (_, tMain, _) =>
-          if (!baseRuns.forall(_._2)) s"""\"$name\":{\"err\":\"base_sf_failed\"}"""
+        results.find(_._1 == name).map { case (_, tMain, mainOk) =>
+          // either SF failing must surface as err, not as a plausible
+          // exponent computed from a fast-failure wall time
+          if (!mainOk) s"""\"$name\":{\"err\":\"main_sf_failed\"}"""
+          else if (!baseRuns.forall(_._2)) s"""\"$name\":{\"err\":\"base_sf_failed\"}"""
           else {
             val tBase = baseRuns.map(_._1).min
             val ratio = if (name == "d5_embed_dedup" || name.startsWith("s")) embRatio else docRatio

@@ -267,36 +267,58 @@ object Dedup {
 
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE shuffle of the shingle table, by fingerprint: collect_set gives
-    // each shingle its distinct doc list (partial agg collapses repeats
-    // map-side), and both downstream needs come off that same exchange —
-    //   pairs: df-capped lists explode to their C(df,2) doc pairs
-    //   sizes: per-doc rare-shingle counts (df<=cap, including singletons)
-    // This replaces the round-2 shape (distinct + df pre-agg + semi-join +
-    // self-join = three shuffles by the same key) and keeps its skew
-    // guarantee: the cap bounds any one shingle's fan-out at C(cap,2), so
-    // a viral boilerplate shingle can't square the shuffle. The pair
-    // explosion is a typed flatMap on the few df>=2 survivors (a column
-    // filter runs first; the deserialization touches only those rows).
-    val grouped = Tables.documents(s, dir)
+    // ONE shuffle of the shingle table, by fingerprint, with BOUNDED
+    // memory: rows arrive sorted by (h, doc_id) and a streaming kernel
+    // (same doctrine as d5's bucket verify) walks one shingle-group at a
+    // time, run-length-deduping doc ids and keeping at most cap+1 of
+    // them -- a viral boilerplate shingle overflows the cap and is
+    // dropped WITHOUT ever materializing its doc list (a collect_set
+    // here would buffer all df ids in one aggregation state before any
+    // cap filter could run: the 10^8-doc license-header shingle becomes
+    // an executor OOM). The kernel emits both downstream needs off the
+    // one exchange, as tagged rows --
+    //   kind 0: the group's C(df,2) doc pairs (2 <= df <= cap)
+    //   kind 1: per-doc size contributions (df <= cap, incl. singletons)
+    // This replaces the round-2 shape (distinct + df pre-agg + semi-join
+    // + self-join = three shuffles by the same key) with one shuffle and
+    // O(cap) state.
+    val tagged = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleCol).as("s"))
-      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
-      .groupBy("h").agg(collect_set(col("doc_id")).as("docs"))
-    val inter = grouped
-      .filter(size(col("docs")).between(2, MaxShingleDf))
-      .select("docs").as[Seq[Long]]
-      .flatMap { docs =>
-        val a = docs.toArray.sorted
-        for { i <- a.indices.iterator; j <- (i + 1) until a.length }
-          yield (a(i), a(j))
+      .select(graft.functions.GenKey(col("s")).as("h"), col("doc_id"))
+      .repartition(col("h"))
+      .sortWithinPartitions("h", "doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        Iterator.continually {
+          if (!buf.hasNext) None
+          else {
+            val h0 = buf.head._1
+            val docs = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var over = false
+            while (buf.hasNext && buf.head._1 == h0) {
+              val d = buf.next()._2
+              // sorted input: distinct = run-length; the cap+1-th
+              // distinct id marks the group viral and frees its buffer
+              if (!over && (docs.isEmpty || docs.last != d)) {
+                if (docs.length >= MaxShingleDf) { over = true; docs.clear() }
+                else docs += d
+              }
+            }
+            Some(if (over) Iterator.empty
+            else docs.iterator.map(d => (1, d, 0L)) ++
+              docs.indices.iterator.flatMap(i =>
+                (i + 1 until docs.length).iterator.map(j => (0, docs(i), docs(j)))))
+          }
+        }.takeWhile(_.isDefined).flatMap(_.get)
       }
-      .toDF("doc_a", "doc_b")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val sizes = grouped
-      .filter(size(col("docs")) <= MaxShingleDf)
-      .select(explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .toDF("kind", "a", "b")
+    val inter = tagged.filter(col("kind") === 0)
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = tagged.filter(col("kind") === 1)
+      .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")

@@ -287,7 +287,11 @@ object TextAnalysis {
     val q = t2Quality(s, dir).select("doc_id", "quality")
     val div = t6TypeTokenRatio(s, dir).select("doc_id", "ttr")
     val rep = t7Repetition(s, dir).select("doc_id", "dup_bigram_frac")
-    q.join(div, "doc_id").join(rep, "doc_id")
+    // t7 has no row for docs with < 2 tokens (no bigrams); the filter
+    // contract is one verdict per document, so LEFT join and treat a
+    // bigram-less doc as non-repetitive (dup fraction 0)
+    q.join(div, "doc_id").join(rep, Seq("doc_id"), "left")
+      .withColumn("dup_bigram_frac", coalesce(col("dup_bigram_frac"), lit(0.0)))
       .withColumn("keep",
         col("quality") >= MinQuality && col("ttr") >= MinTtr &&
           col("dup_bigram_frac") <= MaxDupBigramFrac)
@@ -304,14 +308,16 @@ object TextAnalysis {
     s"""WITH t2r AS ($t2Sql),
        |t6r AS ($t6Sql),
        |t7r AS ($t7Sql)
-       |SELECT t2r.doc_id, quality, ttr, dup_bigram_frac,
-       |  quality >= $MinQuality AND ttr >= $MinTtr AND dup_bigram_frac <= $MaxDupBigramFrac AS keep,
+       |SELECT t2r.doc_id, quality, ttr,
+       |  COALESCE(dup_bigram_frac, 0.0) AS dup_bigram_frac,
+       |  quality >= $MinQuality AND ttr >= $MinTtr
+       |    AND COALESCE(dup_bigram_frac, 0.0) <= $MaxDupBigramFrac AS keep,
        |  CASE WHEN quality < $MinQuality THEN 'low_quality'
        |       WHEN ttr < $MinTtr THEN 'low_diversity'
-       |       WHEN dup_bigram_frac > $MaxDupBigramFrac THEN 'repetitive'
+       |       WHEN COALESCE(dup_bigram_frac, 0.0) > $MaxDupBigramFrac THEN 'repetitive'
        |       ELSE 'ok' END AS reject_reason
        |FROM t2r JOIN t6r ON t2r.doc_id = t6r.doc_id
-       |         JOIN t7r ON t2r.doc_id = t7r.doc_id
+       |         LEFT JOIN t7r ON t2r.doc_id = t7r.doc_id
        |ORDER BY t2r.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

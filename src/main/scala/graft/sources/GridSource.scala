@@ -37,7 +37,15 @@ class GridSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     def opt(k: String, d: Long): Long =
-      Option(properties.get(k)).map(_.toLong).getOrElse(d)
+      Option(properties.get(k)).map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException =>
+            // keep the typed error surface: callers catch GraftException,
+            // not a bare NumberFormatException from the option parser
+            throw new graft.GraftBoundsError(
+              s"grid option $k must be an integer: got '$v'")
+        }
+      }.getOrElse(d)
     // validate at table-resolution time, same contract as ArrayOps' slice
     // entry points: step 0 would divide-by-zero in align() at plan time,
     // a negative step would make the reader's stepping loop never reach

@@ -270,14 +270,12 @@ object Streams {
   val st6Sql: String = graft.arrays.ArrayOps.a18Sql
 
   // --- st7_stream_decontaminate: stream-static decontamination ------------
-  /** documents schema for readStream (file sources need explicit schema). */
-  val documentsSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
+  /** File sources need an explicit schema; derive it from the parquet
+    * footer rather than hand-duplicating it — a drifted corpus schema
+    * must fail loudly here, not read silent all-null columns.
+    */
   def readDocumentsStream(s: SparkSession, docsDir: String): DataFrame =
-    s.readStream.schema(documentsSchema).parquet(docsDir)
+    s.readStream.schema(s.read.parquet(docsDir).schema).parquet(docsDir)
 
   /** Benchmark shingle fingerprints (docs 0-19) from the STATIC corpus —
     * the small side of the stream-static join, planned once and broadcast

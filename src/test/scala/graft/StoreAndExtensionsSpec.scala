@@ -230,6 +230,8 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assertThrows[graft.GraftBoundsError](read("s0" -> "0"))
     assertThrows[graft.GraftBoundsError](read("s1" -> "-2"))
     assertThrows[graft.GraftBoundsError](read("t0" -> "0"))
+    // non-numeric option: typed error, not a bare NumberFormatException
+    assertThrows[graft.GraftBoundsError](read("s0" -> "abc"))
     // sane options still read
     read("s0" -> "2", "s1" -> "3")
   }
