@@ -675,9 +675,26 @@ object Dedup {
   // shuffles by shingle.
   val ContamThreshold = 5
 
+  /** Per-row distinct shingle fingerprints: array_distinct over hashed
+    * shingles is semantically identical to hashedShingles' global
+    * DISTINCT (doc_id, h) — the dedupe key is per-document — but costs
+    * zero shuffle instead of a full corpus exchange. The lambda is built
+    * with the Scala higher-order-function API around the native GenKey
+    * expression (no SQL-function registration required).
+    */
+  private def rowDistinctHashedShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sgl", shingleCol)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(col("sgl"), x => graft.functions.GenKey(x)))).as("h"))
+
   def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = hashedShingles(s, dir)
+    val sh = rowDistinctHashedShingles(s, dir)
     val bench = sh.filter(col("doc_id") < 20).select("h").distinct()
+    // the corpus side never shuffles at all now: per-row dedupe, map-side
+    // broadcast semi-join, partial-agg'd count by doc
     sh.filter(col("doc_id") >= 20)
       .join(broadcast(bench), "h")
       .groupBy("doc_id")
