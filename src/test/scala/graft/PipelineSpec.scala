@@ -107,6 +107,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d4 kernel: a viral shingle (df > cap) yields no pairs and leaves size counts") {
+    // 15 docs all share the boilerplate shingle "x y z" (df=15 > cap=10):
+    // it must contribute NO pairs and NO size counts. Docs 0 and 1 also
+    // share the rare shingle "p q r": exactly that one pair must survive,
+    // with sizes counting only the rare/unique shingles.
+    val d = java.nio.file.Files.createTempDirectory("graft-viral").toString
+    import spark.implicits._
+    (0 until 15).map { i =>
+      val rare = if (i < 2) "p q r " else s"u$i v$i w$i "
+      (i.toLong, rare + "x y z", "en", s"src$i", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Dedup.d4NgramJaccard(spark, d).collect()
+    // each doc's text has 6 tokens -> 4 shingles, of which "x y z" is
+    // viral; the other 3 are unique to the doc (or shared by 0/1 only)
+    assert(rows.length == 1, s"expected exactly one pair, got ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L)
+    // docs 0/1 share shingles "p q r", "q r x", "r x y" (all rare) but
+    // NOT "x y z" (viral, dropped): inter = 3 over capped sizes of 3
+    assert(r.getAs[Long]("inter") == 3L, s"inter: $r")
+    assert(r.getAs[Double]("jaccard") == 3.0 / (3 + 3 - 3), s"jaccard: $r")
+  }
+
   test("m3/m4 survive a zero-length payload (no div-by-zero, no NaN)") {
     // not in the synthetic corpus, but a real one has empty documents;
     // m3's modulo indexing and m4's fraction must degrade to 0, matching
