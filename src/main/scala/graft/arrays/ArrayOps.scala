@@ -685,6 +685,76 @@ object ArrayOps {
        |  USING (i0, i1)
        |ORDER BY g.i0, g.i1""".stripMargin
 
+  // --- a25_array_combine: elementwise map algebra between two arrays ------
+  // The first consumer move after read_data on a gridded store: combine two
+  // variables' grids cell-by-cell (ratio of two weather fields, click/view
+  // conversion here). Long form makes it a full-outer equi-join on the dim
+  // indices with fill-value coalescing — absent cells are the fill value on
+  // either side, exactly read_data's dense semantics (base.py:265-270).
+  // Scale: each operand is ONE directory of the partitioned store (pruned
+  // scan); the join shuffles only those two arrays' cells by (i0, i1) — at
+  // 100 TB the store adds bucketBy(i0) and this becomes a co-located merge
+  // of two sorted directories, no exchange at all.
+  def a25ArrayCombine(s: SparkSession, dir: String): DataFrame = {
+    val st = cellsStored(s, dir)
+    val a = st.filter(col("array_id") === "click")
+      .select(col("i0"), col("i1"), col("value").as("va"))
+    val b = st.filter(col("array_id") === "view")
+      .select(col("i0"), col("i1"), col("value").as("vb"))
+    a.join(b, Seq("i0", "i1"), "full_outer")
+      .select(col("i0"), col("i1"),
+              coalesce(col("va"), lit(0.0)).as("click_v"),
+              coalesce(col("vb"), lit(0.0)).as("view_v"))
+      .withColumn("sum_v", col("click_v") + col("view_v"))
+      .withColumn("diff_v", col("click_v") - col("view_v"))
+      .orderBy("i0", "i1")
+  }
+
+  val a25Sql: String =
+    s"""WITH $cellsSql,
+       |a AS (SELECT i0, i1, value FROM cells WHERE array_id = 'click'),
+       |b AS (SELECT i0, i1, value FROM cells WHERE array_id = 'view')
+       |SELECT COALESCE(a.i0, b.i0) AS i0, COALESCE(a.i1, b.i1) AS i1,
+       |  COALESCE(a.value, 0.0) AS click_v, COALESCE(b.value, 0.0) AS view_v,
+       |  COALESCE(a.value, 0.0) + COALESCE(b.value, 0.0) AS sum_v,
+       |  COALESCE(a.value, 0.0) - COALESCE(b.value, 0.0) AS diff_v
+       |FROM a FULL JOIN b ON a.i0 = b.i0 AND a.i1 = b.i1
+       |ORDER BY i0, i1""".stripMargin
+
+  // --- a26_array_coarsen: resolution downsample (zoom-out / pyramid) ------
+  // The other standard gridded-store consumer op: aggregate CoarsenF0 x
+  // CoarsenF1 blocks of cells into one coarse cell (mean + max + count) —
+  // the building block of a multi-resolution pyramid. One partial-agg'd
+  // groupBy keyed by the coarse tile: map-side combine collapses each
+  // storage partition (sorted by (i0, i1), so coarse keys arrive clustered)
+  // before the single small shuffle. Mean = IEEE division of the exact
+  // decimal sum by the count — deterministic on both engines. Dim indices
+  // are non-negative by the cells contract, so Spark's truncating div
+  // equals the oracle's floor //.
+  val CoarsenF0 = 4
+  val CoarsenF1 = 4
+
+  def a26ArrayCoarsen(s: SparkSession, dir: String): DataFrame =
+    cellsStored(s, dir)
+      .filter(col("array_id") === "purchase")
+      .groupBy(expr(s"i0 div $CoarsenF0").as("c0"),
+               expr(s"i1 div $CoarsenF1").as("c1"))
+      .agg(count(lit(1)).as("n_cells"),
+           Det.dsum(col("value")).as("v_sum"),
+           max(col("value")).as("v_max"))
+      .withColumn("v_mean", col("v_sum") / col("n_cells"))
+      .select("c0", "c1", "n_cells", "v_sum", "v_max", "v_mean")
+      .orderBy("c0", "c1")
+
+  val a26Sql: String =
+    s"""WITH $cellsSql
+       |SELECT i0 // $CoarsenF0 AS c0, i1 // $CoarsenF1 AS c1,
+       |  COUNT(*) AS n_cells, ${Det.sqlDsum("value")} AS v_sum,
+       |  MAX(value) AS v_max,
+       |  ${Det.sqlDsum("value")} / COUNT(*) AS v_mean
+       |FROM cells WHERE array_id = 'purchase'
+       |GROUP BY 1, 2 ORDER BY c0, c1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
@@ -710,6 +780,8 @@ object ArrayOps {
     "a22_strided_read" -> (a22StridedRead _),
     "a23_leader_redirect" -> (a23LeaderRedirect _),
     "a24_strided_dense_read" -> (a24StridedDenseRead _),
+    "a25_array_combine" -> (a25ArrayCombine _),
+    "a26_array_coarsen" -> (a26ArrayCoarsen _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -737,5 +809,7 @@ object ArrayOps {
     "a22_strided_read" -> a22Sql,
     "a23_leader_redirect" -> a23Sql,
     "a24_strided_dense_read" -> a24Sql,
+    "a25_array_combine" -> a25Sql,
+    "a26_array_coarsen" -> a26Sql,
   )
 }
