@@ -510,6 +510,18 @@ object Dedup {
   // diameter (near-dup clusters are shallow — a handful of rounds), with
   // localCheckpoint truncating lineage between rounds. The oracle replays
   // it as a recursive transitive closure.
+  /** Release a localCheckpoint's materialized blocks. Dataset.unpersist
+    * only consults the cache manager, which never saw a checkpoint — the
+    * blocks belong to the internal RDD inside the plan's LogicalRDD node
+    * (and a derived projection's plan still contains that node).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def d7DupGroups(s: SparkSession, dir: String): DataFrame = {
     val edges = candidatePairs(signatures(s, dir))
     val sym = edges.unionByName(
@@ -530,10 +542,18 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("doc"))
         .select(col("doc"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
                 col("lbl").as("old"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before the old round goes
       changed = next.filter(col("lbl") < col("old")).count()
+      // release the superseded round's checkpoint blocks NOW — round 5
+      // left every round of every d7/d10 invocation pinned in storage
+      // memory for the whole session (6+ chains per bench run)
+      releaseCheckpoint(labels)
       labels = next.select("doc", "lbl")
     }
+    // the edge table served its last join; only the final labels
+    // checkpoint (which the returned plan reads) stays resident until
+    // the ContextCleaner GCs it after the caller drops the DataFrame
+    releaseCheckpoint(sym)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "lbl")
       .select(col("doc").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
@@ -675,30 +695,33 @@ object Dedup {
   // shuffles by shingle.
   val ContamThreshold = 5
 
-  /** Per-row distinct shingle fingerprints: array_distinct over hashed
-    * shingles is semantically identical to hashedShingles' global
-    * DISTINCT (doc_id, h) — the dedupe key is per-document — but costs
-    * zero shuffle instead of a full corpus exchange. The lambda is built
-    * with the Scala higher-order-function API around the native GenKey
-    * expression (no SQL-function registration required).
+  /** Non-distinct (doc_id, shingle-fingerprint) rows: explode + a native
+    * GenKey projection — every expression codegen'd. Round 5's lesson
+    * (measured 13x in the driver bench): the "zero-shuffle" per-row dedupe
+    * `array_distinct(transform(sgl, x => GenKey(x)))` evaluates the
+    * lambda INTERPRETED per shingle per row — per-element expression
+    * machinery costs far more than the cheap 8-byte-key exchange it
+    * saved. Dedupe instead happens after the broadcast semi-join, where
+    * only matched (contaminated-overlap) rows remain — sub-linear in the
+    * corpus at any scale.
     */
-  private def rowDistinctHashedShingles(s: SparkSession, dir: String): DataFrame =
+  private def hashedShingleRows(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("sgl", shingleCol)
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(col("sgl"), x => graft.functions.GenKey(x)))).as("h"))
+      .select(col("doc_id"), explode(shingleCol).as("s"))
+      .select(col("doc_id"), graft.functions.GenKey(col("s")).as("h"))
 
   def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val sh = rowDistinctHashedShingles(s, dir)
+    val sh = hashedShingleRows(s, dir)
     val bench = sh.filter(col("doc_id") < 20).select("h").distinct()
-    // the corpus side never shuffles at all now: per-row dedupe, map-side
-    // broadcast semi-join, partial-agg'd count by doc
+    // corpus side: map-side broadcast semi-join, then a distinct-count
+    // whose partial aggregation dedupes (doc_id, h) before the only
+    // exchange — which carries matched rows only (tiny: the contamination
+    // overlap, not the corpus)
     sh.filter(col("doc_id") >= 20)
       .join(broadcast(bench), "h")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count_distinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= ContamThreshold)
       .orderBy("doc_id")
   }
