@@ -14,6 +14,12 @@ run / fork := true
 // pass the forked process' stdout through unlogged: Bench/Verify emit
 // machine-read JSON lines that must not carry the sbt "[info] " prefix
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// the driver parses the bench JSON line out of the LAST 2000 chars of
+// stdout; sbt's "[success] Total time: ..." trailer (~76 chars) sits
+// inside that window behind the line. Suppressing it (verified effective
+// on sbt 1.10) buys the per-query map enough room to keep 2-decimal
+// timings for the whole 83+-key inventory (see Bench.LineBudget).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -7,33 +7,50 @@ object Bench {
     * double precision + the inline scaling block) was ~3.8 KB, so the
     * front of the line fell off the capture and the driver recorded
     * `parsed: null`. The stdout line is therefore a compact summary —
-    * 2-decimal per-query seconds, no scaling block — sized (and
-    * spec-guarded, BenchFormatSpec) to fit the tail with the sbt
-    * `[success]` trailer behind it. Full-precision timings, run metadata
-    * and the scaling exponents go to [[FullPath]] for the judge.
+    * 2-decimal per-query seconds (trailing zeros trimmed), no scaling
+    * block — sized (and spec-guarded, BenchFormatSpec) to fit the tail.
+    * Full-precision timings, per-run raw times, storage stats, regression
+    * flags and the scaling exponents go to [[FullPath]] for the judge.
     */
   val FullPath = "BENCH_FULL.json"
 
-  /** Reserve room for sbt's `[success] Total time: ...` trailer (~80
-    * chars) inside the same 2000-char window.
+  /** build.sbt sets `Global / showSuccess := false`, so sbt no longer
+    * appends its ~76-char `[success] Total time: ...` trailer after the
+    * line (verified on sbt 1.10; round 5's budget reserved 85 chars for
+    * it and the 83-key inventory no longer fit at 2-decimal precision —
+    * the driver artifact silently degraded to 1-decimal). 9 chars spare
+    * against the 2000-char window for the line's own newline.
     */
-  val LineBudget = 1915
+  val LineBudget = 1990
+
+  /** %.{prec}f with trailing zeros (and a bare trailing dot) trimmed:
+    * "0.30" -> "0.3", "2.00" -> "2" — same resolution, fewer bytes.
+    */
+  def fmt(v: Double, prec: Int): String = {
+    val s = s"%.${prec}f".format(v)
+    if (!s.contains('.')) s
+    else {
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t.dropRight(1) else t
+    }
+  }
 
   def compactLine(queries: Seq[(String, Double)], failed: Seq[String],
                   total: Double, sfDir: String): String = {
     // failure names are capped so a mass failure can't push the line out
     // of the capture window — the full list is in FullPath (documented in
-    // SURVEY §8; no inline pointer, every byte counts here)
+    // SURVEY §8; no inline pointer, every byte counts here). The field is
+    // omitted entirely in the normal (nothing-failed) case.
     val shown = failed.take(2).map("\"" + _ + "\"") ++
       (if (failed.length > 2) Seq("\"+" + (failed.length - 2) + "\"") else Nil)
-    val fl = shown.mkString("[", ",", "]")
+    val fl = if (failed.isEmpty) "" else shown.mkString(",\"failed\":[", ",", "]")
     // sf as the directory basename: the driver sets the dir itself; the
     // full path is in FullPath
     val sf = new java.io.File(sfDir).getName
     def render(prec: Int): String = {
-      val qs = queries.map { case (k, v) => s""""$k":${s"%.${prec}f".format(v)}""" }
+      val qs = queries.map { case (k, v) => s""""$k":${fmt(v, prec)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs$fl,"sf":"$sf"}"""
     }
     // 10ms resolution normally; degrade stepwise (100ms, then whole
     // seconds), and as the guaranteed-fit last resort drop the per-query
@@ -41,15 +58,41 @@ object Bench {
     // worth less than a short one (full precision always lives in
     // FullPath)
     def noQueries: String =
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{},"failed":$fl,"sf":"$sf","note":"per-query timings in $FullPath"}"""
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{}$fl,"sf":"$sf","note":"per-query timings in $FullPath"}"""
     (2 to 0 by -1).iterator.map(render)
       .find(_.length <= LineBudget)
       .getOrElse(noQueries)
   }
 
+  /** Per-query min times of the previous round, parsed out of the
+    * committed [[FullPath]] (written by this object, so the flat
+    * `"queries":{"name":sec,...}` shape is stable). Empty when absent —
+    * first round, or a fresh checkout.
+    */
+  def previousTimes(path: String): Map[String, Double] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(f)) Map.empty
+    else {
+      val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val start = text.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = text.substring(start + "\"queries\":{".length)
+        val end = body.indexOf('}')
+        if (end < 0) Map.empty
+        else "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body.take(end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // previous round's full bench, read BEFORE overwriting: the per-query
+    // regression gate below flags anything >2x its last-round time, so a
+    // 13x (round 5's d9) can never ship unflagged again
+    val prev = previousTimes(FullPath)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -60,11 +103,18 @@ object Bench {
     // one-time ETL, not part of any query's read path)
     SparkEntry.entry(spark).count()
     graft.arrays.ArrayModel.cellsStored(spark, sfDir).count()
+    /** storage actually pinned right now (cached/checkpointed blocks), in
+      * MB — recorded after every query so a leak that degrades the late
+      * inventory (round 5's d7 checkpoints) is visible in the artifact,
+      * not a post-hoc guess.
+      */
+    def storageMb(): Double =
+      spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum / 1e6
     // min of 2 runs per query: run 1 pays one-time codegen/JIT compilation
-    // and any transient host stall (GC logging showed zero full GCs yet
-    // random queries spiked 6-12s across runs — environment noise, not
-    // plan cost); run 2 measures steady-state execution, which is what a
-    // long-running cluster job sees
+    // and any transient host stall; run 2 measures steady-state execution,
+    // which is what a long-running cluster job sees. BOTH raw times are
+    // published (round 5's min-of-2 hid whether a slowdown persisted
+    // across runs or was a one-off stall).
     val Runs = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
@@ -72,13 +122,27 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, times.map(_._1).min, times.forall(_._2))
+      (name, times.map(_._1), times.forall(_._2), storageMb())
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, ts, _, _) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => k }
+    val runsJson = results.map { case (k, ts, _, _) =>
+      s"\"$k\":[${ts.map(t => f"$t%.3f").mkString(",")}]"
+    }.mkString("{", ",", "}")
+    val storageJson = results.map { case (k, _, _, mb) => f"""\"$k\":$mb%.1f""" }
+      .mkString("{", ",", "}")
+    val regressed = results.flatMap { case (k, ts, ok, _) =>
+      prev.get(k).collect {
+        // >2x last round AND >0.2s absolute, so 30ms->70ms noise on the
+        // fixed per-query overhead doesn't cry wolf
+        case p if ok && ts.min > 2 * p && ts.min - p > 0.2 =>
+          f"""\"$k\":{\"prev\":$p%.3f,\"now\":${ts.min}%.3f}"""
+      }
+    }
+    val regressedJson = regressed.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
 
     // --- scaling pass: re-time the pipeline (d/s) families at a smaller
     // SF and report the per-op growth exponent t ~ data^e (e≈1 linear,
@@ -98,19 +162,26 @@ object Bench {
       val scaleOps = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (k, _) => k.matches("^[ds]\\d+_.*") }
       val entries = scaleOps.flatMap { case (name, fn) =>
+        // one untimed warm run first: the base-SF plan/codegen was never
+        // exercised in the main pass, and at ~0.3s base timings the
+        // compilation cost dominated — round 5's s3/s4/s5 "exponents"
+        // came out negative from exactly that
+        val warmOk = try { fn(spark, bd).count(); true } catch { case _: Throwable => false }
         // a base-SF failure must NOT be timed as t_base (a fast failure
         // fakes a huge exponent with no marker) — flag it instead
         val baseRuns = (1 to Runs).map { _ =>
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, bd).count(); true } catch { case _: Throwable => false }
+          val ok = warmOk &&
+            (try { fn(spark, bd).count(); true } catch { case _: Throwable => false })
           ((System.nanoTime() - t0) / 1e9, ok)
         }
-        results.find(_._1 == name).map { case (_, tMain, mainOk) =>
+        results.find(_._1 == name).map { case (_, tsMain, mainOk, _) =>
           // either SF failing must surface as err, not as a plausible
           // exponent computed from a fast-failure wall time
           if (!mainOk) s"""\"$name\":{\"err\":\"main_sf_failed\"}"""
           else if (!baseRuns.forall(_._2)) s"""\"$name\":{\"err\":\"base_sf_failed\"}"""
           else {
+            val tMain = tsMain.min
             val tBase = baseRuns.map(_._1).min
             val ratio = if (name == "d5_embed_dedup" || name.startsWith("s")) embRatio else docRatio
             val e = math.log(tMain / tBase) / math.log(ratio)
@@ -122,11 +193,15 @@ object Bench {
     }.getOrElse("")
 
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_per_query":$Runs,"timing":"min","failed":$failedJson,"sf":"$sfDir"$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min","failed":$failedJson,"sf":"$sfDir"$scaling}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(FullPath),
       (full + "\n").getBytes("UTF-8"))
 
-    println(compactLine(results.map(r => (r._1, r._2)), failed, total, sfDir))
+    val line = compactLine(results.map(r => (r._1, r._2.min)), failed, total, sfDir)
+    // stop() BEFORE the println: the line must be the last stdout in the
+    // driver's tail capture, and a late ContextCleaner/shutdown WARN
+    // landing after it would push bytes of it out of the window
     spark.stop()
+    println(line)
   }
 }

@@ -123,6 +123,39 @@ class PlanAuditSpec extends SparkSpec {
       s"d10's label join should broadcast:\n${d10.take(800)}")
   }
 
+  test("no native graft expression evaluates under an interpreted lambda") {
+    // A higher-order function's lambda is NOT whole-stage-codegen'd: it
+    // evaluates through interpreted expression machinery once per array
+    // ELEMENT per row. Wrapping a native expression in one silently
+    // forfeits its codegen — round 5's d9 did exactly this
+    // (array_distinct(transform(sgl, x => GenKey(x)))) and paid 13x in
+    // the driver bench. Array-BUILDING lambdas over plain expressions
+    // (shingleCol's concat_ws transform: one array per row, no custom
+    // expr inside) stay acceptable; a graft.* expression under a lambda
+    // never is — apply it natively after explode instead.
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    def offenses(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.flatMap(_.expressions).flatMap(_.collect {
+        case h: HigherOrderFunction if h.functions.exists(_.exists(
+            _.getClass.getName.startsWith("graft."))) => h.prettyName
+      })
+    // negative control: the auditor must flag the round-5 d9 shape
+    import org.apache.spark.sql.functions._
+    val bad = spark.range(1).select(
+      transform(array(lit("a"), lit("b")),
+        x => graft.functions.GenKey(x)).as("y"))
+    assert(offenses(bad).nonEmpty,
+      "auditor failed to flag a native expression under a lambda")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => iterative(n) }
+      .flatMap { case (name, fn) =>
+        val off = offenses(fn(spark, sf))
+        if (off.nonEmpty) Some(s"$name(${off.mkString(",")})") else None
+      }
+    assert(offenders.isEmpty,
+      s"native expressions under interpreted lambdas in: ${offenders.mkString(", ")}")
+  }
+
   test("no operator falls back to interpreted ScalaUDF in its plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => iterative(n) }
