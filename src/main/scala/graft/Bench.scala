@@ -103,6 +103,7 @@ object Bench {
     // one-time ETL, not part of any query's read path)
     SparkEntry.entry(spark).count()
     graft.arrays.ArrayModel.cellsStored(spark, sfDir).count()
+    graft.arrays.ArrayModel.cellsBucketed(spark, sfDir).count()
     /** storage actually pinned right now (cached/checkpointed blocks), in
       * MB — recorded after every query so a leak that degrades the late
       * inventory (round 5's d7 checkpoints) is visible in the artifact,

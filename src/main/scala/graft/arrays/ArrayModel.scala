@@ -75,6 +75,34 @@ object ArrayModel {
       StructField("coll", StringType), StructField("array_id", StringType)))
   }
 
+  /** cells as a bucketed session table: partitioned by (coll, array_id)
+    * like the path store, PLUS bucketed AND sorted by the full dim key
+    * (i0, i1). This is the layout that makes array-vs-array map algebra
+    * (a25) a co-located merge: both operands scan as
+    * HashPartitioning(i0, i1), which covers every join key — Spark's
+    * co-partition check (requireAllClusterKeysForCoPartition, default on
+    * since 3.3) accepts nothing less — so the equi-join plans with ZERO
+    * exchange on either side (PlanAuditSpec asserts it): at 100 TB
+    * neither grid ever shuffles. Derived once per (catalog, sf-dir); 8
+    * buckets stands in for the cluster-sized bucket count.
+    */
+  def cellsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val t = s"graft_cells_b_${Integer.toHexString(dir.hashCode)}"
+    if (!s.catalog.tableExists(t)) {
+      // external table at a per-JVM tmp path: a managed table's warehouse
+      // directory outlives the in-memory catalog (a previous run's
+      // leftover location fails CREATE with LOCATION_ALREADY_EXISTS)
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft-cells-b-" +
+        s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"
+      cells(s, dir)
+        .write.mode("overwrite").option("path", loc)
+        .partitionBy("coll", "array_id")
+        .bucketBy(8, "i0", "i1").sortBy("i0", "i1")
+        .saveAsTable(t)
+    }
+    s.table(t)
+  }
+
   /** DuckDB CTE mirroring [[cells]]; prepend to every §2-A oracle. */
   val cellsSql: String =
     s"""cells AS (

@@ -691,17 +691,20 @@ object ArrayOps {
   // conversion here). Long form makes it a full-outer equi-join on the dim
   // indices with fill-value coalescing — absent cells are the fill value on
   // either side, exactly read_data's dense semantics (base.py:265-270).
-  // Scale: each operand is ONE directory of the partitioned store (pruned
-  // scan); the join shuffles only those two arrays' cells by (i0, i1) — at
-  // 100 TB the store adds bucketBy(i0) and this becomes a co-located merge
-  // of two sorted directories, no exchange at all.
+  // Scale: each operand is ONE directory of the bucketed store (pruned
+  // scan), bucketed and sorted by the full dim key (i0, i1) — both sides
+  // arrive as HashPartitioning(i0, i1), covering every join key, so the
+  // merge join plans with ZERO exchange: at 100 TB neither grid ever
+  // shuffles (the merge hint keeps the planner on the co-located
+  // sort-merge path instead of broadcasting a side; PlanAuditSpec asserts
+  // the exchange-free shape).
   def a25ArrayCombine(s: SparkSession, dir: String): DataFrame = {
-    val st = cellsStored(s, dir)
+    val st = graft.arrays.ArrayModel.cellsBucketed(s, dir)
     val a = st.filter(col("array_id") === "click")
       .select(col("i0"), col("i1"), col("value").as("va"))
     val b = st.filter(col("array_id") === "view")
       .select(col("i0"), col("i1"), col("value").as("vb"))
-    a.join(b, Seq("i0", "i1"), "full_outer")
+    a.join(b.hint("merge"), Seq("i0", "i1"), "full_outer")
       .select(col("i0"), col("i1"),
               coalesce(col("va"), lit(0.0)).as("click_v"),
               coalesce(col("vb"), lit(0.0)).as("view_v"))

@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     // Driver-side materialization (collect/count during query CONSTRUCTION,
     // as d5 once did) is invisible in the plan text but fatal at scale: it
     // pulls a table through the driver before the query even runs.
-    arrays.ArrayModel.cellsStored(spark, sf).count() // one-time layout ETL
+    arrays.ArrayModel.cellsStored(spark, sf).count()   // one-time layout ETL
+    arrays.ArrayModel.cellsBucketed(spark, sf).count() // one-time bucketed ETL
     // Spark 4 no longer sets callSite.short on job properties, and AQE
     // runs actions on an async pool that loses the user stack — so the
     // robust invariant is stack-shape allowlisting via StageInfo.details:
@@ -99,6 +100,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"$name: a slice read must not shuffle:\n$plan")
     }
+  }
+
+  test("a25_array_combine: co-located bucketed merge, zero join exchange") {
+    // Both operands come off the bucketed store (bucketBy(i0), sorted by
+    // (i0, i1)): HashPartitioning(i0) satisfies the full-outer join's
+    // ClusteredDistribution(i0, i1) on both sides, so the merge join needs
+    // no exchange of either grid — the plan a 100 TB array-vs-array map
+    // algebra needs. (The trailing orderBy's rangepartitioning is the
+    // deterministic-output sort, not part of the join.)
+    graft.arrays.ArrayModel.cellsBucketed(spark, sf).count() // one-time ETL
+    val plan = SparkEntry.queries("a25_array_combine")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"a25 should plan a sort-merge join over the bucketed layout:\n${plan.take(1200)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a25's join must not shuffle either bucketed side:\n${plan.take(1800)}")
+    assert(!plan.contains("BroadcastExchange"),
+      s"a25 should co-located-merge, not broadcast:\n${plan.take(1200)}")
   }
 
   test("pipeline joins against sub-linear sides are broadcast") {
