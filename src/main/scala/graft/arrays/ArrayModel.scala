@@ -142,6 +142,35 @@ object ArrayModel {
        |  FROM documents GROUP BY 1, 2, 3, 4
        |)""".stripMargin
 
+  /** Third collection: the corpus char counts at their NATIVE dtype.
+    * Deker arrays carry a dtype in the collection schema and the meta
+    * round-trip preserves it (base.py:35-48 create_array_from_meta) — a
+    * float64-only cell model would silently widen an int collection.
+    * These cells keep `value` as int64 end-to-end; a27 exercises
+    * patch/read/stats on them with exact BIGINT arithmetic on both
+    * engines.
+    */
+  val IntColl = "corpus_i64"
+
+  def intCells(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(
+        col("source").as("array_id"),
+        expr("doc_id div 100").as("i0"),
+        pmod(col("doc_id"), lit(Dim1Size.toLong)).as("i1"))
+      .agg(sum(col("n_chars")).as("value"))
+      .withColumn("coll", lit(IntColl))
+      .select("coll", "array_id", "i0", "i1", "value")
+
+  val intCellsSql: String =
+    s"""int_cells AS (
+       |  SELECT '$IntColl' AS coll, source AS array_id,
+       |    CAST(doc_id // 100 AS BIGINT) AS i0,
+       |    CAST(((doc_id % $Dim1Size) + $Dim1Size) % $Dim1Size AS BIGINT) AS i1,
+       |    CAST(SUM(n_chars) AS BIGINT) AS value
+       |  FROM documents GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
   /** Catalog: one row per array — schema, shape, stats, custom attrs.
     * This is the Spark form of read_meta (base.py:166): metadata is a
     * (broadcastable) table derived from, or stored beside, the cells.

@@ -758,6 +758,78 @@ object ArrayOps {
        |FROM cells WHERE array_id = 'purchase'
        |GROUP BY 1, 2 ORDER BY c0, c1""".stripMargin
 
+  // --- a27_int_cells: dtype-faithful collection (int64) -------------------
+  // Deker arrays carry their dtype in the collection schema, and the meta
+  // round-trip preserves it (base.py:35-48 create_array_from_meta;
+  // read_data buffers decode as array.dtype, base.py:265). Every earlier
+  // collection here is float64; this op runs the standard lifecycle —
+  // patch (a3's update shape), bounds read (a2's slice shape), stats
+  // (a15's) — over the corpus_i64 collection WITHOUT leaving int64:
+  // value arithmetic is exact BIGINT end-to-end on both engines, so a
+  // silent widen to double anywhere in the path hash-mismatches the
+  // oracle.
+  def a27IntCells(s: SparkSession, dir: String): DataFrame =
+    intCells(s, dir)
+      .withColumn("value",
+        when(col("i0") < 1, col("value") * 2L).otherwise(col("value")))
+      .filter(col("i0") >= 0 && col("i0") < 3 &&
+              col("i1") >= 0 && col("i1") < 8)
+      .groupBy("coll", "array_id")
+      .agg(count(lit(1)).as("n_cells"),
+           sum(col("value")).as("value_sum"),
+           max(col("value")).as("value_max"))
+      .withColumn("dtype", lit("int64"))
+      .select("coll", "array_id", "dtype", "n_cells", "value_sum", "value_max")
+      .orderBy("array_id")
+
+  val a27Sql: String =
+    s"""WITH $intCellsSql
+       |SELECT coll, array_id, 'int64' AS dtype, COUNT(*) AS n_cells,
+       |  CAST(SUM(v) AS BIGINT) AS value_sum, MAX(v) AS value_max
+       |FROM (
+       |  SELECT coll, array_id, i0, i1,
+       |    CASE WHEN i0 < 1 THEN value * 2 ELSE value END AS v
+       |  FROM int_cells)
+       |WHERE i0 >= 0 AND i0 < 3 AND i1 >= 0 AND i1 < 8
+       |GROUP BY coll, array_id ORDER BY array_id""".stripMargin
+
+  // --- a28_soft_delete: is_deleted lifecycle flags ------------------------
+  // Both reference adapters expose is_deleted (base.py:313,
+  // collection_adapter.py:111): deletion is server-side STATE, not a
+  // client-computable rule. Re-expressed: a tombstone table (the flag
+  // store — here a two-row fixture) broadcast-LEFT-joined onto the
+  // unified catalog; listings carry the flag and readers filter on it.
+  // At 100 TB a delete touches one catalog row — never the cells — and
+  // the catalog join stays broadcast at any corpus size.
+  def a28SoftDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tombstones = Seq((Coll, "error"), (CorpusColl, "src4"))
+      .toDF("coll", "array_id").withColumn("tomb", lit(true))
+    allCells(s, dir)
+      .groupBy("coll", "array_id")
+      .agg(count(lit(1)).as("n_cells"), Det.dsum(col("value")).as("value_sum"))
+      .join(broadcast(tombstones), Seq("coll", "array_id"), "left")
+      .withColumn("is_deleted", coalesce(col("tomb"), lit(false)))
+      .select("coll", "array_id", "is_deleted", "n_cells", "value_sum")
+      .orderBy("coll", "array_id")
+  }
+
+  val a28Sql: String =
+    s"""WITH $cellsSql, $corpusCellsSql,
+       |all_cells AS (
+       |  SELECT * FROM cells UNION ALL SELECT * FROM corpus_cells),
+       |cat AS (
+       |  SELECT coll, array_id, COUNT(*) AS n_cells,
+       |    ${Det.sqlDsum("value")} AS value_sum
+       |  FROM all_cells GROUP BY coll, array_id),
+       |tombs AS (SELECT * FROM (VALUES ('$Coll', 'error'),
+       |  ('$CorpusColl', 'src4')) t(coll, array_id))
+       |SELECT c.coll, c.array_id, t.array_id IS NOT NULL AS is_deleted,
+       |  n_cells, value_sum
+       |FROM cat c LEFT JOIN tombs t
+       |  ON c.coll = t.coll AND c.array_id = t.array_id
+       |ORDER BY c.coll, c.array_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
@@ -785,6 +857,8 @@ object ArrayOps {
     "a24_strided_dense_read" -> (a24StridedDenseRead _),
     "a25_array_combine" -> (a25ArrayCombine _),
     "a26_array_coarsen" -> (a26ArrayCoarsen _),
+    "a27_int_cells" -> (a27IntCells _),
+    "a28_soft_delete" -> (a28SoftDelete _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -814,5 +888,7 @@ object ArrayOps {
     "a24_strided_dense_read" -> a24Sql,
     "a25_array_combine" -> a25Sql,
     "a26_array_coarsen" -> a26Sql,
+    "a27_int_cells" -> a27Sql,
+    "a28_soft_delete" -> a28Sql,
   )
 }
