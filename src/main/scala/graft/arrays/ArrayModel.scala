@@ -27,6 +27,7 @@ object ArrayModel {
   val Dim1Size = 16   // user buckets
   val Tile0 = 10      // vgrid tile extent along dim 0
   val Tile1 = 8       // vgrid tile extent along dim 1 (2 tiles across)
+  val Tile2 = 6       // vgrid tile extent along dim 2 (hours: 4 tiles / 24)
 
   /** Long-form cell table: one row per populated cell. */
   def cells(s: SparkSession, dir: String): DataFrame =
@@ -57,6 +58,7 @@ object ArrayModel {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-cells-" +
         s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"
       graft.sources.ArrayStore.materialize(cells(s, dir), p)
+      graft.TmpCleanup.register(p)
       p
     })
     // explicit schema: an all-empty source writes no partition directories,
@@ -94,6 +96,7 @@ object ArrayModel {
       // leftover location fails CREATE with LOCATION_ALREADY_EXISTS)
       val loc = s"${System.getProperty("java.io.tmpdir")}/graft-cells-b-" +
         s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"
+      graft.TmpCleanup.register(loc)
       cells(s, dir)
         .write.mode("overwrite").option("path", loc)
         .partitionBy("coll", "array_id")
@@ -168,6 +171,38 @@ object ArrayModel {
        |    CAST(doc_id // 100 AS BIGINT) AS i0,
        |    CAST(((doc_id % $Dim1Size) + $Dim1Size) % $Dim1Size AS BIGINT) AS i1,
        |    CAST(SUM(n_chars) AS BIGINT) AS value
+       |  FROM documents GROUP BY 1, 2, 3, 4
+       |)""".stripMargin
+
+  /** Fourth collection: float32 cells — with int64 (a27) the other common
+    * gridded-weather dtype, completing the dtype story the reference's
+    * meta round-trip implies (base.py:35-48 decodes buffers as
+    * `array.dtype`; numpy dtype strings include f4). Values are
+    * integer-valued (summed n_chars — exact in float32's 24-bit mantissa
+    * at test SFs, and the BIGINT→float32 cast rounds half-to-even
+    * identically on both engines), so dtype fidelity is provable
+    * bit-exactly WITHOUT order-dependent float accumulation anywhere:
+    * a silent widen to double (Spark's default coercion trap for
+    * FloatType) hash-mismatches the oracle's REAL.
+    */
+  val FloatColl = "corpus_f32"
+
+  def floatCells(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(
+        col("source").as("array_id"),
+        expr("doc_id div 100").as("i0"),
+        pmod(col("doc_id"), lit(Dim1Size.toLong)).as("i1"))
+      .agg(sum(col("n_chars")).cast("float").as("value"))
+      .withColumn("coll", lit(FloatColl))
+      .select("coll", "array_id", "i0", "i1", "value")
+
+  val floatCellsSql: String =
+    s"""float_cells AS (
+       |  SELECT '$FloatColl' AS coll, source AS array_id,
+       |    CAST(doc_id // 100 AS BIGINT) AS i0,
+       |    CAST(((doc_id % $Dim1Size) + $Dim1Size) % $Dim1Size AS BIGINT) AS i1,
+       |    CAST(SUM(n_chars) AS REAL) AS value
        |  FROM documents GROUP BY 1, 2, 3, 4
        |)""".stripMargin
 

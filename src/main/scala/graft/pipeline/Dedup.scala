@@ -150,32 +150,83 @@ object Dedup {
        |)""".stripMargin
   }
 
+  /** Per-(band, bucket) membership cap. An uncapped LSH bucket emits df²
+    * pair rows: a viral duplicate cluster (boilerplate, a mirrored site)
+    * lands its whole membership on ONE (band, bkey) key and squares the
+    * shuffle — the same hot-key failure d4 caps with MaxShingleDf. Buckets
+    * at or under the cap emit their exact C(df,2) pairs; over-cap buckets
+    * degrade to STAR edges (bucket-min doc ↔ every other member): linear
+    * fan-out, O(cap) kernel state — and the duplicate cluster stays
+    * CONNECTED, so d7's label propagation still collapses it to one keeper
+    * (dropping the bucket d4-style would exempt exactly the most
+    * duplicated content from dedup — the opposite of what a purge wants).
+    */
+  val MaxBandDf = 16
+
   /** LSH band-bucket candidate pairs (doc_a < doc_b), from a signature DF.
     * Shared by d2 (which re-ranks by signature agreement) and d7 (which
     * assembles candidate pairs into duplicate groups).
     */
   def candidatePairs(sig: DataFrame): DataFrame = {
-    // band key fingerprinted to u32 before the self-join: the raw key is a
+    // band key fingerprinted to u32 before the shuffle: the raw key is a
     // ~40-char concat of 4 signature values, the fingerprint is 8 bytes —
     // the same shuffle-width win as the shingle family (the oracle applies
     // the identical hash, so the negligible collision mass is mirrored;
     // a colliding band pair just becomes one more LSH candidate for the
     // downstream exact verify, which LSH tolerates by construction)
+    val session = sig.sparkSession
+    import session.implicits._
     val bands = sig
       .select(col("doc_id"), explode(array((0 until Bands).map(lit(_)): _*)).as("band"), col("sigs"))
       .withColumn("bkey", graft.functions.GenKey(concat_ws(",",
         (1 to NumPerm / Bands).map(r => element_at(col("sigs"), col("band") * (NumPerm / Bands) + r)): _*)))
-      .select("doc_id", "band", "bkey")
-    val l = bands.as("l"); val r = bands.as("r")
-    l.join(r,
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .select(col("band"), col("bkey"), col("doc_id"))
+    // ONE shuffle, by the bucket key, feeding a streaming one-group-at-a-
+    // time kernel (d4's shape, replacing the former band self-join): doc
+    // ids are distinct within a (band, bkey) group (one row per doc per
+    // band) and arrive ascending, so the group's first id is its min. At
+    // most MaxBandDf ids are ever buffered; a group that exceeds the cap
+    // switches to star emission and streams its tail one row at a time —
+    // a 10⁶-copy bucket emits 10⁶-1 rows with O(cap) memory, never 10¹².
+    bands
+      .repartition(col("band"), col("bkey"))
+      .sortWithinPartitions("band", "bkey", "doc_id")
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        Iterator.continually {
+          if (!buf.hasNext) None
+          else {
+            val (band0, key0, anchor) = buf.next()
+            def inGroup = buf.hasNext && buf.head._1 == band0 && buf.head._2 == key0
+            val docs = scala.collection.mutable.ArrayBuffer(anchor)
+            while (docs.length < MaxBandDf && inGroup) docs += buf.next()._3
+            Some(if (!inGroup) {
+              // whole group fit under the cap: exact all-pairs (a < b by
+              // the sort order)
+              docs.indices.iterator.flatMap(i =>
+                (i + 1 until docs.length).iterator.map(j => (docs(i), docs(j))))
+            } else {
+              // over cap: anchor-star over the buffered members, then the
+              // lazily-consumed tail (flatMap drains this iterator before
+              // the outer continually forms the next group)
+              docs.iterator.drop(1).map(d => (anchor, d)) ++
+                new Iterator[(Long, Long)] {
+                  def hasNext: Boolean = inGroup
+                  def next(): (Long, Long) = (anchor, buf.next()._3)
+                }
+            })
+          }
+        }.takeWhile(_.isDefined).flatMap(_.get)
+      }
+      .toDF("doc_a", "doc_b")
       .distinct()
   }
 
   /** The pairs CTE chain shared by d2/d7/d10 oracles (needs shingles+sigs);
-    * mirrors candidatePairs' u32 band-key fingerprint.
+    * mirrors candidatePairs' u32 band-key fingerprint AND its bucket cap:
+    * a pair from an over-cap bucket survives only if its smaller side is
+    * the bucket min (the star anchor).
     */
   val pairsSql: String = {
     val rows = NumPerm / Bands
@@ -184,10 +235,15 @@ object Dedup {
     s"""bands AS (
        |  SELECT doc_id, b AS band, $bkey AS bkey
        |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |bstat AS (
+       |  SELECT band, bkey, COUNT(*) AS df, MIN(doc_id) AS anchor
+       |  FROM bands GROUP BY band, bkey),
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |  JOIN bstat c ON l.band = c.band AND l.bkey = c.bkey
+       |  WHERE c.df <= $MaxBandDf OR l.doc_id = c.anchor)""".stripMargin
   }
 
   def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -518,11 +574,24 @@ object Dedup {
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        // a localCheckpoint's blocks are UNRECOVERABLE once unpersisted
+        // (lineage is truncated at checkpoint time): this release is only
+        // sound because every call site checkpoints EAGERLY and releases a
+        // round strictly after its successor materialized. A refactor that
+        // makes the checkpoint lazy must fail here, loudly, not lose
+        // blocks mid-query later.
+        require(lr.rdd.isCheckpointed,
+          "releaseCheckpoint called on a non-materialized checkpoint RDD — " +
+            "the localCheckpoint() producing it must stay eager")
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
 
-  def d7DupGroups(s: SparkSession, dir: String): DataFrame = {
+  /** The CC loop proper: candidate edges → (doc, min-label). Runs once per
+    * (JVM, sf-dir) via [[labelsStored]]; d7 formats its output, d10 joins
+    * it against the corpus.
+    */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val edges = candidatePairs(signatures(s, dir))
     val sym = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -554,6 +623,35 @@ object Dedup {
     // checkpoint (which the returned plan reads) stays resident until
     // the ContextCleaner GCs it after the caller drops the DataFrame
     releaseCheckpoint(sym)
+    labels
+  }
+
+  /** Session-stored label table — the cellsStored pattern: the iterative
+    * CC assembly (the costliest stage of the dedup family) runs ONCE per
+    * (JVM, sf-dir) and lands in a tmp parquet; every consumer after the
+    * first (d10's purge, a keeper-selection stage, an audit query) reads
+    * the stored table instead of re-running the loop. At 100 TB the label
+    * table is a first-class pipeline artifact, not a per-query subplan.
+    */
+  private val labelPaths = scala.collection.concurrent.TrieMap[String, String]()
+
+  def labelsStored(s: SparkSession, dir: String): DataFrame = {
+    val path = labelPaths.getOrElseUpdate(dir, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft-labels-" +
+        s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"
+      ccLabels(s, dir).write.mode("overwrite").parquet(p)
+      graft.TmpCleanup.register(p)
+      p
+    })
+    // explicit schema: an empty corpus writes a schema-less empty store
+    s.read.schema("doc BIGINT, lbl BIGINT").parquet(path)
+  }
+
+  def d7DupGroups(s: SparkSession, dir: String): DataFrame = {
+    // d7 IS the group-assembly operator: it runs the loop itself (so the
+    // bench keeps measuring the true CC cost) rather than reading the
+    // stored table d10 composes over
+    val labels = ccLabels(s, dir)
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("group_size"))
     labels.join(sizes, "lbl")
       .select(col("doc").as("doc_id"), col("lbl").as("group_id"), col("group_size"))
@@ -597,7 +695,11 @@ object Dedup {
   // table is ~(dup docs) rows, orders of magnitude smaller than the
   // corpus — broadcastable; nothing all-pairs, nothing driver-side.
   def d10DedupPurge(s: SparkSession, dir: String): DataFrame = {
-    val labels = d7DupGroups(s, dir).select("doc_id", "group_id")
+    // composes the SESSION'S label table (one CC run per JVM+dir, stored —
+    // see labelsStored) instead of re-running d7's whole iterative loop:
+    // round 6 ran the costliest pipeline stage twice per session
+    val labels = labelsStored(s, dir)
+      .select(col("doc").as("doc_id"), col("lbl").as("group_id"))
     Tables.documents(s, dir)
       .join(broadcast(labels), Seq("doc_id"), "left")
       .withColumn("dropped",

@@ -74,6 +74,41 @@ class PipelineSpec extends SparkSpec {
       s"d5 recall regression: missed ${t -- got}, spurious ${got -- t}")
   }
 
+  test("candidatePairs: a viral duplicate cluster emits linear star edges, stays connected") {
+    // The 100 TB failure mode the cap exists for: 1000 copies of one
+    // document share identical signatures, so ALL of them land in the
+    // same (band, bkey) bucket in every band. Uncapped, that bucket
+    // self-joins to C(1000,2) = 499500 pair rows (df² — at corpus scale,
+    // 10⁶ copies → 10¹² rows on one shuffle key). Capped, each over-cap
+    // bucket degrades to star edges off the bucket min: linear fan-out
+    // AND the cluster remains one connected component for d7.
+    import spark.implicits._
+    val n = 1000
+    val sig = (0 until n).map(i => (i.toLong, Seq.fill(Dedup.NumPerm)(7L)))
+      .toDF("doc_id", "sigs")
+    val pairs = Dedup.candidatePairs(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == n - 1,
+      s"expected ${n - 1} star edges, got ${pairs.length} (uncapped would be ${n * (n - 1) / 2})")
+    assert(pairs.forall(_._1 == 0L), "star edges must anchor at the bucket min")
+    assert(pairs.map(_._2).toSet == (1L until n.toLong).toSet,
+      "every cluster member must stay connected to the anchor")
+  }
+
+  test("candidatePairs: buckets within the cap emit exact all-pairs") {
+    import spark.implicits._
+    val n = Dedup.MaxBandDf // boundary: exactly at the cap is still exact
+    val sig = (0 until n).map(i => (i.toLong, Seq.fill(Dedup.NumPerm)(3L)))
+      .toDF("doc_id", "sigs")
+    val pairs = Dedup.candidatePairs(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      i <- 0 until n; j <- i + 1 until n
+    } yield (i.toLong, j.toLong)).toSet
+    assert(pairs == expected,
+      s"cap-boundary bucket must emit all C($n,2) pairs: missing ${expected -- pairs}")
+  }
+
   test("d10 purge agrees with d7's groups: dropped = non-keeper members") {
     val dropped = Dedup.d7DupGroups(spark, sf)
       .filter(col("doc_id") =!= col("group_id")).count()
