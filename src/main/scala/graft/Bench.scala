@@ -23,11 +23,18 @@ object Bench {
     */
   val LineBudget = 1990
 
+  /** Locale-pinned %.{prec}f: the bench line is machine-parsed JSON, and
+    * the default-locale formatter under a comma-decimal locale would emit
+    * invalid JSON (and defeat fmt's dot-based trailing-zero trim).
+    */
+  def fnum(v: Double, prec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+
   /** %.{prec}f with trailing zeros (and a bare trailing dot) trimmed:
     * "0.30" -> "0.3", "2.00" -> "2" — same resolution, fewer bytes.
     */
   def fmt(v: Double, prec: Int): String = {
-    val s = s"%.${prec}f".format(v)
+    val s = fnum(v, prec)
     if (!s.contains('.')) s
     else {
       val t = s.reverse.dropWhile(_ == '0').reverse
@@ -50,7 +57,7 @@ object Bench {
     def render(prec: Int): String = {
       val qs = queries.map { case (k, v) => s""""$k":${fmt(v, prec)}""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs$fl,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${fnum(total, 2)},"unit":"sec","queries":$qs$fl,"sf":"$sf"}"""
     }
     // 10ms resolution normally; degrade stepwise (100ms, then whole
     // seconds), and as the guaranteed-fit last resort drop the per-query
@@ -58,7 +65,7 @@ object Bench {
     // worth less than a short one (full precision always lives in
     // FullPath)
     def noQueries: String =
-      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":{}$fl,"sf":"$sf","note":"per-query timings in $FullPath"}"""
+      s"""{"metric":"total","value":${fnum(total, 2)},"unit":"sec","queries":{}$fl,"sf":"$sf","note":"per-query timings in $FullPath"}"""
     (2 to 0 by -1).iterator.map(render)
       .find(_.length <= LineBudget)
       .getOrElse(noQueries)
@@ -128,16 +135,16 @@ object Bench {
     val qs = results.map { case (k, ts, _, _) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, ts, _, _) =>
-      s"\"$k\":[${ts.map(t => f"$t%.3f").mkString(",")}]"
+      s"\"$k\":[${ts.map(t => fnum(t, 3)).mkString(",")}]"
     }.mkString("{", ",", "}")
-    val storageJson = results.map { case (k, _, _, mb) => f"""\"$k\":$mb%.1f""" }
+    val storageJson = results.map { case (k, _, _, mb) => s"""\"$k\":${fnum(mb, 1)}""" }
       .mkString("{", ",", "}")
     val regressed = results.flatMap { case (k, ts, ok, _) =>
       prev.get(k).collect {
         // >2x last round AND >0.2s absolute, so 30ms->70ms noise on the
         // fixed per-query overhead doesn't cry wolf
         case p if ok && ts.min > 2 * p && ts.min - p > 0.2 =>
-          f"""\"$k\":{\"prev\":$p%.3f,\"now\":${ts.min}%.3f}"""
+          s"""\"$k\":{\"prev\":${fnum(p, 3)},\"now\":${fnum(ts.min, 3)}}"""
       }
     }
     val regressedJson = regressed.mkString("{", ",", "}")
@@ -186,7 +193,7 @@ object Bench {
             val tBase = baseRuns.map(_._1).min
             val ratio = if (name == "d5_embed_dedup" || name.startsWith("s")) embRatio else docRatio
             val e = math.log(tMain / tBase) / math.log(ratio)
-            f"""\"$name\":{\"t_base\":$tBase%.3f,\"t_main\":$tMain%.3f,\"data_ratio\":$ratio%.1f,\"exponent\":$e%.2f}"""
+            s"""\"$name\":{\"t_base\":${fnum(tBase, 3)},\"t_main\":${fnum(tMain, 3)},\"data_ratio\":${fnum(ratio, 1)},\"exponent\":${fnum(e, 2)}}"""
           }
         }
       }

@@ -511,26 +511,48 @@ object ArrayOps {
   // The client holds MANY collections; iteration is a catalog-level scan —
   // per-collection array counts + cell stats from the union of the (tiny,
   // broadcastable) per-collection catalogs, never a scan of the cells.
+  // The union carries each collection's DECLARED dtype (the schema field
+  // the reference round-trips, base.py:35-48); catalog-level value stats
+  // deliberately widen to double (a summary, not the data) — the cell
+  // stores themselves stay dtype-native, which a27/a29 prove bit-exactly.
   private def allCells(s: SparkSession, dir: String): DataFrame =
-    cellsStored(s, dir).unionByName(corpusCells(s, dir))
+    cellsStored(s, dir).withColumn("dtype", lit("float64"))
+      .unionByName(corpusCells(s, dir).withColumn("dtype", lit("float64")))
+      .unionByName(intCells(s, dir)
+        .withColumn("value", col("value").cast("double"))
+        .withColumn("dtype", lit("int64")))
+      .unionByName(floatCells(s, dir)
+        .withColumn("value", col("value").cast("double"))
+        .withColumn("dtype", lit("float32")))
+
+  /** The unified-catalog CTE (needs cells, corpus_cells, int_cells,
+    * float_cells in scope) mirroring [[allCells]].
+    */
+  private val allCellsSql: String =
+    """all_cells AS (
+      |  SELECT coll, array_id, i0, i1, value, 'float64' AS dtype FROM cells
+      |  UNION ALL
+      |  SELECT coll, array_id, i0, i1, value, 'float64' FROM corpus_cells
+      |  UNION ALL
+      |  SELECT coll, array_id, i0, i1, CAST(value AS DOUBLE), 'int64' FROM int_cells
+      |  UNION ALL
+      |  SELECT coll, array_id, i0, i1, CAST(value AS DOUBLE), 'float32' FROM float_cells)""".stripMargin
 
   def a19ListCollections(s: SparkSession, dir: String): DataFrame =
     allCells(s, dir)
-      .groupBy("coll")
+      .groupBy("coll", "dtype")
       .agg(countDistinct(col("array_id")).as("n_arrays"),
            count(lit(1)).as("n_cells"),
            Det.dsum(col("value")).as("value_sum"))
-      .withColumn("dtype", lit("float64"))
+      .select("coll", "n_arrays", "n_cells", "value_sum", "dtype")
       .orderBy("coll")
 
   val a19Sql: String =
-    s"""WITH $cellsSql, $corpusCellsSql,
-       |all_cells AS (
-       |  SELECT * FROM cells UNION ALL SELECT * FROM corpus_cells)
+    s"""WITH $cellsSql, $corpusCellsSql, $intCellsSql, $floatCellsSql,
+       |$allCellsSql
        |SELECT coll, COUNT(DISTINCT array_id) AS n_arrays,
-       |  COUNT(*) AS n_cells, ${Det.sqlDsum("value")} AS value_sum,
-       |  'float64' AS dtype
-       |FROM all_cells GROUP BY coll ORDER BY coll""".stripMargin
+       |  COUNT(*) AS n_cells, ${Det.sqlDsum("value")} AS value_sum, dtype
+       |FROM all_cells GROUP BY coll, dtype ORDER BY coll""".stripMargin
 
   // --- a20_collection_delete: delete a collection (collection_adapter.py) -
   // Deleting 'corpus' = anti-join the unified catalog against the deleted
@@ -548,9 +570,8 @@ object ArrayOps {
   }
 
   val a20Sql: String =
-    s"""WITH $cellsSql, $corpusCellsSql,
-       |all_cells AS (
-       |  SELECT * FROM cells UNION ALL SELECT * FROM corpus_cells)
+    s"""WITH $cellsSql, $corpusCellsSql, $intCellsSql, $floatCellsSql,
+       |$allCellsSql
        |SELECT coll, array_id, COUNT(*) AS n_cells,
        |  ${Det.sqlDsum("value")} AS value_sum
        |FROM all_cells WHERE coll <> '$CorpusColl'
@@ -806,29 +827,98 @@ object ArrayOps {
     val tombstones = Seq((Coll, "error"), (CorpusColl, "src4"))
       .toDF("coll", "array_id").withColumn("tomb", lit(true))
     allCells(s, dir)
-      .groupBy("coll", "array_id")
+      .groupBy("coll", "array_id", "dtype")
       .agg(count(lit(1)).as("n_cells"), Det.dsum(col("value")).as("value_sum"))
       .join(broadcast(tombstones), Seq("coll", "array_id"), "left")
       .withColumn("is_deleted", coalesce(col("tomb"), lit(false)))
-      .select("coll", "array_id", "is_deleted", "n_cells", "value_sum")
+      .select("coll", "array_id", "dtype", "is_deleted", "n_cells", "value_sum")
       .orderBy("coll", "array_id")
   }
 
   val a28Sql: String =
-    s"""WITH $cellsSql, $corpusCellsSql,
-       |all_cells AS (
-       |  SELECT * FROM cells UNION ALL SELECT * FROM corpus_cells),
+    s"""WITH $cellsSql, $corpusCellsSql, $intCellsSql, $floatCellsSql,
+       |$allCellsSql,
        |cat AS (
-       |  SELECT coll, array_id, COUNT(*) AS n_cells,
+       |  SELECT coll, array_id, dtype, COUNT(*) AS n_cells,
        |    ${Det.sqlDsum("value")} AS value_sum
-       |  FROM all_cells GROUP BY coll, array_id),
+       |  FROM all_cells GROUP BY coll, array_id, dtype),
        |tombs AS (SELECT * FROM (VALUES ('$Coll', 'error'),
        |  ('$CorpusColl', 'src4')) t(coll, array_id))
-       |SELECT c.coll, c.array_id, t.array_id IS NOT NULL AS is_deleted,
+       |SELECT c.coll, c.array_id, c.dtype, t.array_id IS NOT NULL AS is_deleted,
        |  n_cells, value_sum
        |FROM cat c LEFT JOIN tombs t
        |  ON c.coll = t.coll AND c.array_id = t.array_id
        |ORDER BY c.coll, c.array_id""".stripMargin
+
+  // --- a29_float_cells: dtype-faithful collection (float32) ---------------
+  // a27 proved int64; this completes the dtype story with float32, the
+  // other common gridded-weather dtype (reference base.py:35-48 decodes
+  // read_data buffers as array.dtype — f4 is a first-class numpy dtype
+  // string). The standard lifecycle — patch (a3's update shape), bounds
+  // read (a2's slice shape) — over corpus_f32 WITHOUT leaving float32:
+  // the patch doubles a cell (exponent bump, exact in any IEEE width),
+  // values are integer-valued within the 24-bit mantissa, and the output
+  // column is FloatType end-to-end, so Spark's silent FloatType→DoubleType
+  // widening coercion anywhere in the path hash-mismatches the oracle's
+  // REAL.
+  def a29FloatCells(s: SparkSession, dir: String): DataFrame =
+    floatCells(s, dir)
+      .withColumn("value",
+        when(col("i0") < 1, col("value") * lit(2.0f)).otherwise(col("value")))
+      .filter(col("i0") >= 0 && col("i0") < 3 &&
+              col("i1") >= 0 && col("i1") < 8)
+      .withColumn("dtype", lit("float32"))
+      .select("coll", "array_id", "dtype", "i0", "i1", "value")
+      .orderBy("array_id", "i0", "i1")
+
+  val a29Sql: String =
+    s"""WITH $floatCellsSql
+       |SELECT coll, array_id, 'float32' AS dtype, i0, i1,
+       |  CASE WHEN i0 < 1 THEN CAST(value * CAST(2 AS REAL) AS REAL)
+       |       ELSE value END AS value
+       |FROM float_cells
+       |WHERE i0 >= 0 AND i0 < 3 AND i1 >= 0 AND i1 < 8
+       |ORDER BY array_id, i0, i1""".stripMargin
+
+  // --- a30_varray_assemble_3d: n-dim vgrid tiling -------------------------
+  // a10 exercises the vgrid arithmetic in 2-D and a21 reads 3-D slices;
+  // this closes the remaining n-dim gap: TILE ASSEMBLY over a true 3-D
+  // vgrid (varray_adapter.py's v_position is an n-tuple; utils/hashing.py
+  // :17 joins ALL of its coordinates). Same shuffle-free projection per
+  // dim — local = i % T, v = i / T, global = v·T + local — plus the
+  // reference's "-".join(v_position) primary-attribute key over all three
+  // coordinates.
+  def a30VarrayAssemble3d(s: SparkSession, dir: String): DataFrame =
+    cells3(s, dir).filter(col("array_id") === "signup")
+      .select(
+        (col("i0") / Tile0).cast("long").as("v0"),
+        (col("i1") / Tile1).cast("long").as("v1"),
+        (col("i2") / Tile2).cast("long").as("v2"),
+        pmod(col("i0"), lit(Tile0)).cast("long").as("l0"),
+        pmod(col("i1"), lit(Tile1)).cast("long").as("l1"),
+        pmod(col("i2"), lit(Tile2)).cast("long").as("l2"),
+        col("value"))
+      .withColumn("g0", col("v0") * Tile0 + col("l0"))
+      .withColumn("g1", col("v1") * Tile1 + col("l1"))
+      .withColumn("g2", col("v2") * Tile2 + col("l2"))
+      .withColumn("v_key",
+        concat_ws("-", col("v0"), col("v1"), col("v2")))
+      .orderBy("g0", "g1", "g2")
+
+  val a30Sql: String =
+    s"""WITH $cells3Sql
+       |SELECT CAST(i0 // $Tile0 AS BIGINT) AS v0,
+       |  CAST(i1 // $Tile1 AS BIGINT) AS v1,
+       |  CAST(i2 // $Tile2 AS BIGINT) AS v2,
+       |  CAST(i0 % $Tile0 AS BIGINT) AS l0,
+       |  CAST(i1 % $Tile1 AS BIGINT) AS l1,
+       |  CAST(i2 % $Tile2 AS BIGINT) AS l2, value,
+       |  CAST(i0 // $Tile0 AS BIGINT) * $Tile0 + CAST(i0 % $Tile0 AS BIGINT) AS g0,
+       |  CAST(i1 // $Tile1 AS BIGINT) * $Tile1 + CAST(i1 % $Tile1 AS BIGINT) AS g1,
+       |  CAST(i2 // $Tile2 AS BIGINT) * $Tile2 + CAST(i2 % $Tile2 AS BIGINT) AS g2,
+       |  CAST(i0 // $Tile0 AS BIGINT) || '-' || CAST(i1 // $Tile1 AS BIGINT)
+       |    || '-' || CAST(i2 // $Tile2 AS BIGINT) AS v_key
+       |FROM cells3 WHERE array_id = 'signup' ORDER BY g0, g1, g2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
@@ -859,6 +949,8 @@ object ArrayOps {
     "a26_array_coarsen" -> (a26ArrayCoarsen _),
     "a27_int_cells" -> (a27IntCells _),
     "a28_soft_delete" -> (a28SoftDelete _),
+    "a29_float_cells" -> (a29FloatCells _),
+    "a30_varray_3d" -> (a30VarrayAssemble3d _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -890,5 +982,7 @@ object ArrayOps {
     "a26_array_coarsen" -> a26Sql,
     "a27_int_cells" -> a27Sql,
     "a28_soft_delete" -> a28Sql,
+    "a29_float_cells" -> a29Sql,
+    "a30_varray_3d" -> a30Sql,
   )
 }

@@ -110,14 +110,23 @@ class ArraySpec extends SparkSpec {
     assert(rows.head.getLong(2) == expectThrottled)
   }
 
-  test("a19/a20 collection lifecycle: iterate sees both, delete keeps weather only") {
+  test("a19/a20 collection lifecycle: iterate sees all four, delete drops only corpus") {
     val colls = ArrayOps.a19ListCollections(spark, sf).collect()
-    assert(colls.map(_.getString(0)).toSeq == Seq(ArrayModel.CorpusColl, ArrayModel.Coll))
+    assert(colls.map(_.getString(0)).toSeq ==
+      Seq(ArrayModel.CorpusColl, ArrayModel.FloatColl, ArrayModel.IntColl,
+          ArrayModel.Coll))
+    // the unified catalog carries each collection's declared dtype
+    assert(colls.map(r => r.getString(0) -> r.getString(4)).toMap ==
+      Map(ArrayModel.CorpusColl -> "float64", ArrayModel.FloatColl -> "float32",
+          ArrayModel.IntColl -> "int64", ArrayModel.Coll -> "float64"))
     colls.foreach(r => assert(r.getLong(1) > 0 && r.getLong(2) > 0))
     val survivors = ArrayOps.a20CollectionDelete(spark, sf).collect()
     assert(survivors.nonEmpty)
-    assert(survivors.forall(_.getString(0) == ArrayModel.Coll),
+    val survivorColls = survivors.map(_.getString(0)).toSet
+    assert(!survivorColls.contains(ArrayModel.CorpusColl),
       "deleted collection must not survive")
+    assert(survivorColls == Set(ArrayModel.Coll, ArrayModel.IntColl,
+      ArrayModel.FloatColl), "undeleted collections must all survive")
   }
 
   test("patch then read-back returns patched values inside bounds only") {
@@ -151,6 +160,24 @@ class ArraySpec extends SparkSpec {
     val orig = ArrayModel.cells(spark, sf).filter(col("array_id") === "signup")
       .select(col("i0").as("g0"), col("i1").as("g1"), col("value"))
     assert(df.select("g0", "g1", "value").except(orig).count() == 0)
+  }
+
+  test("3-D varray assemble round-trips global coords and keys all three") {
+    val df = ArrayOps.a30VarrayAssemble3d(spark, sf)
+    Seq(("g0", "v0", "l0", ArrayModel.Tile0), ("g1", "v1", "l1", ArrayModel.Tile1),
+        ("g2", "v2", "l2", ArrayModel.Tile2)).foreach { case (g, v, l, t) =>
+      assert(df.filter(col(g) =!= col(v) * t + col(l)).count() == 0,
+        s"dim $g must round-trip v*T+l")
+    }
+    // reassembled coords must match the original 3-D cells slice
+    val orig = ArrayOps.cells3(spark, sf).filter(col("array_id") === "signup")
+      .select(col("i0").as("g0"), col("i1").as("g1"), col("i2").as("g2"),
+        col("value"))
+    assert(df.select("g0", "g1", "g2", "value").except(orig).count() == 0)
+    // the primary-attribute key joins EVERY v_position coordinate
+    // (utils/hashing.py:17's "-".join over the n-tuple)
+    assert(df.filter(col("v_key") =!= concat_ws("-", col("v0"), col("v1"),
+      col("v2"))).count() == 0)
   }
 
   test("strided slice: phase anchored at lo; chunked==direct; patch-back strided cells only") {

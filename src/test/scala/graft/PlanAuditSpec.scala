@@ -120,6 +120,26 @@ class PlanAuditSpec extends SparkSpec {
       s"a25 should co-located-merge, not broadcast:\n${plan.take(1200)}")
   }
 
+  test("a14/a24 dense reads: the grid lattice joins without shuffling") {
+    // The dense-read family LEFT-joins the generated vgrid lattice with the
+    // sparse slice. At 100 TB the lattice side is the large one (every
+    // coordinate of the requested shape); the plan that survives scale
+    // keeps it in place — the sparse slice (already pruned to the bounds)
+    // broadcasts, and the lattice side must never sort-merge (which would
+    // shuffle every generated coordinate). a25's shape is asserted above;
+    // this is the same guarantee for the GridSource join.
+    Seq("a14_dense_read", "a24_strided_dense_read").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$n should broadcast the pruned sparse slice against the lattice:\n${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
+        s"$n must not shuffle the generated lattice into a merge join:\n${plan.take(1800)}")
+      // the slice side, not the lattice, is the broadcast build side
+      assert(plan.contains("GridSource") || plan.contains("BatchScan"),
+        s"$n should scan the lattice through the DSv2 grid source:\n${plan.take(1200)}")
+    }
+  }
+
   test("pipeline joins against sub-linear sides are broadcast") {
     // Each of these ops joins the corpus/vector table against a side that
     // stays tiny at any corpus scale (benchmark shingles, query samples,
