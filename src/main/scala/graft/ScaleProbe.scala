@@ -120,7 +120,7 @@ object ScaleProbe {
     }
     val json =
       s"""{"mult":$mult,"main_sf":"$mainDir","doc_ratio":${Bench.fnum(docRatio, 1)},""" +
-        s""""emb_ratio":${Bench.fnum(embRatio, 1)},"timing":"min of 2 after warm",""" +
+        s""""emb_ratio":${Bench.fnum(embRatio, 1)},"timing":"min of 4 after warm + GC barrier",""" +
         s""""note":"d5/s2 hold the oracle's fixed k; production scales k with log2(n) to pin bucket size (SURVEY par.5)",""" +
         s""""ops":${entries.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_UP.json"),
