@@ -920,6 +920,53 @@ object ArrayOps {
        |    || '-' || CAST(i2 // $Tile2 AS BIGINT) AS v_key
        |FROM cells3 WHERE array_id = 'signup' ORDER BY g0, g1, g2""".stripMargin
 
+  // --- a31_dense_read_3d: dense n-dim subset read with fill value ---------
+  // read_data is n-dimensional (base.py:225, 265-270: the byte stream
+  // reshapes to the FULL slice shape in every dim); a14/a24 prove the
+  // dense semantics in 2-D — this is the same contract through the
+  // generalized GridSource at dims=3: one InputPartition per 3-D vgrid
+  // tile, bounds on all three dims pushed down to prune tiles at plan
+  // time, the (tiny, pruned) sparse slice broadcast against the generated
+  // lattice, absent cells surfacing as the fill value.
+  def a31DenseRead3d(s: SparkSession, dir: String): DataFrame = {
+    val grid = s.read.format("graft.sources.GridSource")
+      .option("dims", 3)
+      .option("d0", 30).option("d1", Dim1Size).option("d2", 24)
+      .option("t0", Tile0).option("t1", Tile1).option("t2", Tile2)
+      .load()
+      .filter(col("i0") >= 5 && col("i0") < 10 &&
+              col("i1") >= 0 && col("i1") < 8 &&
+              col("i2") >= 6 && col("i2") < 18)
+    val slice = cells3(s, dir)
+      .filter(col("array_id") === "view" &&
+              col("i0") >= 5 && col("i0") < 10 &&
+              col("i1") >= 0 && col("i1") < 8 &&
+              col("i2") >= 6 && col("i2") < 18)
+      .select("i0", "i1", "i2", "value")
+    grid.join(slice, Seq("i0", "i1", "i2"), "left")
+      .select(col("i0"), col("i1"), col("i2"),
+              col("v0"), col("v1"), col("v2"),
+              coalesce(col("value"), lit(0.0)).as("value"))
+      .orderBy("i0", "i1", "i2")
+  }
+
+  val a31Sql: String =
+    s"""WITH $cells3Sql,
+       |grid AS (
+       |  SELECT a.i0, b.i1, c.i2, a.i0 // $Tile0 AS v0, b.i1 // $Tile1 AS v1,
+       |    c.i2 // $Tile2 AS v2
+       |  FROM (SELECT unnest(range(5, 10)) AS i0) a
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS i1) b
+       |  CROSS JOIN (SELECT unnest(range(6, 18)) AS i2) c)
+       |SELECT g.i0, g.i1, g.i2, g.v0, g.v1, g.v2,
+       |  COALESCE(s.value, 0.0) AS value
+       |FROM grid g LEFT JOIN
+       |  (SELECT i0, i1, i2, value FROM cells3
+       |   WHERE array_id = 'view' AND i0 >= 5 AND i0 < 10
+       |     AND i1 >= 0 AND i1 < 8 AND i2 >= 6 AND i2 < 18) s
+       |  USING (i0, i1, i2)
+       |ORDER BY g.i0, g.i1, g.i2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
@@ -951,6 +998,7 @@ object ArrayOps {
     "a28_soft_delete" -> (a28SoftDelete _),
     "a29_float_cells" -> (a29FloatCells _),
     "a30_varray_3d" -> (a30VarrayAssemble3d _),
+    "a31_dense_read_3d" -> (a31DenseRead3d _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -984,5 +1032,6 @@ object ArrayOps {
     "a28_soft_delete" -> a28Sql,
     "a29_float_cells" -> a29Sql,
     "a30_varray_3d" -> a30Sql,
+    "a31_dense_read_3d" -> a31Sql,
   )
 }

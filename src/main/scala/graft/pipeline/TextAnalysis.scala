@@ -320,7 +320,56 @@ object TextAnalysis {
        |         LEFT JOIN t7r ON t2r.doc_id = t7r.doc_id
        |ORDER BY t2r.doc_id""".stripMargin
 
+  // --- t9_rarity_score: unigram-LM quality score (perplexity-filter slot) -
+  // The standard pipeline stage this family still lacked: score each doc
+  // by how SURPRISING its tokens are under the corpus' own unigram model
+  // (CCNet/Gopher-style perplexity filtering — low scores ≈ stopword
+  // boilerplate, high scores ≈ OOV/gibberish; both tails get filtered or
+  // routed). Log-free for the bit-exact gate: a token's corpus count n
+  // contributes rarity = bits(max_n) - bits(n) (bit length = exact
+  // integer floor(log2)+1 on both engines — the log2-quantized surprisal),
+  // and the doc score is the IEEE division of two exact longs.
+  // Shape at scale: tokens fingerprint to u32 BEFORE the vocab agg (8-byte
+  // shuffle keys); vocab = one map-side-combined agg, vocabulary-sized
+  // (sub-linear in the corpus, Heaps' law) and broadcast back like t5's
+  // df table — beyond broadcast range it becomes a plain hash join on the
+  // same key; the 1-row max joins as a broadcast nested loop. One corpus
+  // shuffle total (the per-doc agg).
+  def t9RarityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), graft.functions.GenKey(col("tok")).as("h"))
+    val vocab = toks.groupBy("h").agg(count(lit(1)).as("n"))
+      .withColumn("bits", length(bin(col("n"))).cast("long"))
+    val mx = vocab.agg(max(col("bits")).as("maxbits"))
+    toks.join(broadcast(vocab), "h")
+      .join(broadcast(mx))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+           sum(col("maxbits") - col("bits")).as("rarity_sum"))
+      .withColumn("rarity_mean",
+        col("rarity_sum").cast("double") / col("n_toks").cast("double"))
+      .select("doc_id", "n_toks", "rarity_sum", "rarity_mean")
+      .orderBy("doc_id")
+  }
+
+  val t9Sql: String = {
+    val h = graft.arrays.HashRing.duckGenKey("tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $h AS h FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |vocab AS (
+       |  SELECT h, length(bin(COUNT(*))) AS bits FROM toks GROUP BY h),
+       |mx AS (SELECT MAX(bits) AS maxbits FROM vocab)
+       |SELECT doc_id, COUNT(*) AS n_toks,
+       |  CAST(SUM(maxbits - bits) AS BIGINT) AS rarity_sum,
+       |  CAST(SUM(maxbits - bits) AS DOUBLE) / COUNT(*) AS rarity_mean
+       |FROM toks JOIN vocab USING (h) CROSS JOIN mx
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_rarity_score" -> (t9RarityScore _),
     "t5_top_terms" -> (t5TopTerms _),
     "t1_langid" -> (t1Langid _),
     "t2_quality_score" -> (t2Quality _),
@@ -332,6 +381,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t9_rarity_score" -> t9Sql,
     "t5_top_terms" -> t5Sql,
     "t1_langid" -> t1Sql,
     "t2_quality_score" -> t2Sql,

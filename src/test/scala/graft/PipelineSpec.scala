@@ -339,6 +339,30 @@ class PipelineSpec extends SparkSpec {
       s"near-dup $d of a benchmark doc escaped decontamination"))
   }
 
+  test("t9 rarity score matches a JVM-side unigram-model recompute") {
+    // ground truth, independent of both engines: build the corpus unigram
+    // counts in plain Scala and recompute every doc's bit-length rarity.
+    // (The op counts by u32 fingerprint; this recount is by raw token —
+    // they differ only on a fingerprint collision, vanishingly unlikely in
+    // this vocabulary and worth failing loudly on.)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val counts = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bits(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val maxBits = counts.values.map(bits).max
+    val got = pipeline.TextAnalysis.t9RarityScore(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (id, nToks, sum, mean) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val toks = docs(id)
+      val expSum = toks.map(t => maxBits - bits(counts(t))).sum
+      assert(nToks == toks.length, s"doc $id token count")
+      assert(sum == expSum, s"doc $id rarity_sum: got $sum, expected $expSum")
+      assert(mean == expSum.toDouble / toks.length, s"doc $id rarity_mean")
+    }
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString

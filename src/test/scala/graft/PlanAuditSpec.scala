@@ -128,15 +128,29 @@ class PlanAuditSpec extends SparkSpec {
     // broadcasts, and the lattice side must never sort-merge (which would
     // shuffle every generated coordinate). a25's shape is asserted above;
     // this is the same guarantee for the GridSource join.
-    Seq("a14_dense_read", "a24_strided_dense_read").foreach { n =>
-      val plan = SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"),
-        s"$n should broadcast the pruned sparse slice against the lattice:\n${plan.take(1500)}")
-      assert(!plan.contains("SortMergeJoin") && !plan.contains("Exchange hashpartitioning"),
-        s"$n must not shuffle the generated lattice into a merge join:\n${plan.take(1800)}")
-      // the slice side, not the lattice, is the broadcast build side
-      assert(plan.contains("GridSource") || plan.contains("BatchScan"),
-        s"$n should scan the lattice through the DSv2 grid source:\n${plan.take(1200)}")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def stripAqe(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    Seq("a14_dense_read", "a24_strided_dense_read", "a31_dense_read_3d").foreach { n =>
+      val plan = stripAqe(SparkEntry.queries(n)(spark, sf).queryExecution.executedPlan)
+      val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+      assert(bhj.isDefined,
+        s"$n should broadcast the pruned sparse slice against the lattice:\n${plan.toString.take(1500)}")
+      assert(!plan.toString.contains("SortMergeJoin"),
+        s"$n must not merge-join the generated lattice:\n${plan.toString.take(1800)}")
+      // the STREAMED side is the lattice: it must come straight off the
+      // DSv2 grid scan with no shuffle anywhere beneath it (the build side
+      // may legitimately aggregate before its broadcast)
+      val streamed = bhj.get.left
+      assert(streamed.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        s"$n shuffles the lattice side:\n${streamed.toString.take(1200)}")
+      assert(streamed.toString.contains("BatchScan grid("),
+        s"$n's streamed side should be the DSv2 grid source:\n${streamed.toString.take(1200)}")
     }
   }
 
@@ -146,8 +160,8 @@ class PlanAuditSpec extends SparkSpec {
     // centroids, term-df); if that join ever degrades to a sort-merge,
     // the big side shuffles — a silent 100 TB regression.
     val expectBroadcast = Seq("d9_decontaminate", "t5_top_terms",
-      "s1_knn_brute", "s2_lsh_ann", "s3_ivf_ann", "s4_sq_ann",
-      "s5_ann_recall", "st7_stream_decontaminate")
+      "t9_rarity_score", "s1_knn_brute", "s2_lsh_ann", "s3_ivf_ann",
+      "s4_sq_ann", "s5_ann_recall", "st7_stream_decontaminate")
     expectBroadcast.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf)
         .queryExecution.executedPlan.toString

@@ -159,6 +159,40 @@ class StoreAndExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("GridSource V2: 3-D grids prune tiles per dim and emit the exact lattice") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val grid = spark.read.format("graft.sources.GridSource")
+      .option("dims", 3)
+      .option("d0", 30).option("d1", 16).option("d2", 24)
+      .option("t0", 10).option("t1", 8).option("t2", 6)
+      .load()
+    // unfiltered: 3 x 2 x 4 tiles
+    val full = grid.queryExecution.executedPlan
+      .collectLeaves().collectFirst { case b: BatchScanExec => b }.get
+    assert(full.inputPartitions.size == 3 * 2 * 4)
+    // a21's bounds: i0 [5,10) -> 1 tile, i1 [0,8) -> 1 tile, i2 [6,18) -> 2
+    val sliced = grid.filter(col("i0") >= 5 && col("i0") < 10 &&
+      col("i1") >= 0 && col("i1") < 8 && col("i2") >= 6 && col("i2") < 18)
+    val scan = sliced.queryExecution.executedPlan
+      .collectLeaves().collectFirst { case b: BatchScanExec => b }.get
+    assert(scan.inputPartitions.size == 1 * 1 * 2,
+      s"3-D tile pruning failed: ${scan.inputPartitions.size} partitions")
+    assert(sliced.count() == 5 * 8 * 12) // exact dense shape, no dupes
+    assert(sliced.select("v0", "v1", "v2").distinct().count() == 2)
+    // a stride along i2 composes with the pruning (no aligned index in a
+    // tile -> tile never launches)
+    val strided = grid.filter(col("i2") >= 0 && col("i2") < 24)
+    assert(strided.count() == 30L * 16 * 24)
+  }
+
+  test("a31 dense 3-D read: dense shape with fill, sparse cells where populated") {
+    val dense = graft.arrays.ArrayOps.a31DenseRead3d(spark, sf)
+    assert(dense.count() == 5 * 8 * 12) // always the full 3-D slice shape
+    val sparse = graft.arrays.ArrayOps.a21SubsetRead3d(spark, sf)
+    assert(dense.filter(col("value") =!= 0.0).count() ==
+      sparse.filter(col("value") =!= 0.0).count())
+  }
+
   test("a14 dense read: dense shape with fill, sparse cells where populated") {
     val dense = graft.arrays.ArrayOps.a14DenseRead(spark, sf)
     assert(dense.count() == 10 * 8) // always the full slice shape
