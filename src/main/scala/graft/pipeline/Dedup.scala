@@ -838,8 +838,97 @@ object Dedup {
        |HAVING COUNT(*) >= $ContamThreshold
        |ORDER BY doc_id""".stripMargin
 
+  // --- d11_span_dedup: repeated-span (exact-substring) coverage -----------
+  // The span-level complement to the doc-level family: instead of asking
+  // "is this DOC a near-duplicate" (d2/d4), ask "how much of this doc is
+  // made of SPANS that also appear in other docs" — the exact-substring
+  // dedup signal used to strip boilerplate (headers, licenses, templated
+  // text) that doc-level Jaccard never sees. A span is SpanLen consecutive
+  // tokens; a span is `repeated` when it occurs in >= 2 distinct docs;
+  // each doc reports the fraction of its span positions covered by
+  // repeated spans and a drop verdict at >= SpanDropFrac.
+  // Scale: spans fingerprint to u32 before any shuffle (8-byte keys);
+  // ONE corpus-side shuffle builds the df table (map-side partial
+  // count-distinct), which is then FILTERED to df >= 2 before joining
+  // back — cross-doc-repeated spans are a tiny fraction of all distinct
+  // spans (broadcast here; a plain hash join on the same key beyond
+  // broadcast range), so the join-back never moves the full span table a
+  // second time. Per-doc rollup is the last partial-agg'd shuffle.
+  val SpanLen = 5
+  val SpanDropFrac = 0.5
+
+  /** (doc_id, span-fingerprint) rows, one per span POSITION (multiplicity
+    * kept: coverage counts positions, not distinct spans).
+    */
+  private def spanRows(s: SparkSession, dir: String): DataFrame = {
+    val terms = (0 until SpanLen).map(j => s"toks[i+$j]").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= SpanLen)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(toks)-$SpanLen), i -> concat_ws(' ', $terms))")).as("sp"))
+      .select(col("doc_id"), graft.functions.GenKey(col("sp")).as("h"))
+  }
+
+  private val spanRowsSql: String = {
+    val terms = (0 until SpanLen).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""sp AS (
+       |  SELECT doc_id, ${HashRing.duckGenKey("s")} AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(t) - ${SpanLen - 2}), i -> $terms)) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |          WHERE len(string_split(text, ' ')) >= $SpanLen))
+       |)""".stripMargin
+  }
+
+  def d11SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val sp = spanRows(s, dir)
+    val rep = sp.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"), lit(1L).as("hit"))
+    val per = sp.join(broadcast(rep), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_rep"))
+    Tables.documents(s, dir).select("doc_id", "source")
+      .join(per, Seq("doc_id"), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("n_rep", coalesce(col("n_rep"), lit(0L)))
+      .withColumn("rep_frac",
+        when(col("n_spans") > 0,
+          col("n_rep").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("drop_doc", col("rep_frac") >= SpanDropFrac)
+      .select("doc_id", "source", "n_spans", "n_rep", "rep_frac", "drop_doc")
+      .orderBy("doc_id")
+  }
+
+  val d11Sql: String =
+    s"""WITH $spanRowsSql,
+       |rep AS (
+       |  SELECT h FROM (
+       |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY h)
+       |  WHERE df >= 2),
+       |per AS (
+       |  SELECT sp.doc_id, COUNT(*) AS n_spans,
+       |    CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rep
+       |  FROM sp LEFT JOIN rep r ON sp.h = r.h GROUP BY sp.doc_id)
+       |SELECT d.doc_id, d.source,
+       |  COALESCE(n_spans, 0) AS n_spans, COALESCE(n_rep, 0) AS n_rep,
+       |  CASE WHEN COALESCE(n_spans, 0) > 0
+       |       THEN CAST(COALESCE(n_rep, 0) AS DOUBLE) / CAST(n_spans AS DOUBLE)
+       |       ELSE 0.0 END AS rep_frac,
+       |  CASE WHEN COALESCE(n_spans, 0) > 0
+       |       THEN CAST(COALESCE(n_rep, 0) AS DOUBLE) / CAST(n_spans AS DOUBLE)
+       |       ELSE 0.0 END >= $SpanDropFrac AS drop_doc
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
+    "d11_span_dedup" -> (d11SpanDedup _),
     "d6_canonical_dedup" -> (d6CanonicalDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
@@ -853,6 +942,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
+    "d11_span_dedup" -> d11Sql,
     "d6_canonical_dedup" -> d6Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

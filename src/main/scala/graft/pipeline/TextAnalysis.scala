@@ -368,8 +368,60 @@ object TextAnalysis {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --- t10_pack_sequences: token-budget training-sequence packing ---------
+  // The last pre-training step a text pipeline runs: concatenate documents
+  // (in a deterministic order) into fixed-budget token sequences
+  // (GPT-style concatenate-and-chunk). Packing is per SOURCE — the unit a
+  // mixture schedule actually packs — so the prefix sum that assigns each
+  // doc its token offset is a window over (source, doc_id), embarrassingly
+  // parallel across sources. Per doc: its token offset in the source
+  // stream, the first/last sequence it lands in, and whether it straddles
+  // a sequence boundary (the fraction of straddling docs is the
+  // attention-mask fragmentation a packer wants to watch).
+  // Scale: one shuffle (by source); within a source the ordered cumsum is
+  // a single sorted partition — at 100 TB with few huge sources the same
+  // contract runs as a two-pass per-partition prefix sum over
+  // range-partitioned doc_id (partial sums + broadcast offsets); the
+  // per-source window form here IS that plan for source-count >> executor
+  // parallelism, which is the real mixture shape (thousands of domains).
+  val SeqBudget = 256L
+
+  def t10PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("tok_off", sum(col("n_toks")).over(w) - col("n_toks"))
+      .withColumn("first_seq", expr(s"tok_off div $SeqBudget"))
+      .withColumn("last_seq", expr(s"(tok_off + n_toks - 1) div $SeqBudget"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1L)
+      .withColumn("straddles", col("n_seqs") > 1L)
+      .select("source", "doc_id", "n_toks", "tok_off", "first_seq",
+              "last_seq", "n_seqs", "straddles")
+      .orderBy("source", "doc_id")
+  }
+
+  val t10Sql: String =
+    s"""SELECT source, doc_id, n_toks, tok_off,
+       |  tok_off // $SeqBudget AS first_seq,
+       |  (tok_off + n_toks - 1) // $SeqBudget AS last_seq,
+       |  (tok_off + n_toks - 1) // $SeqBudget - tok_off // $SeqBudget + 1 AS n_seqs,
+       |  (tok_off + n_toks - 1) // $SeqBudget > tok_off // $SeqBudget AS straddles
+       |FROM (
+       |  SELECT source, doc_id, n_toks,
+       |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      - n_toks AS tok_off
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |    FROM documents))
+       |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t9_rarity_score" -> (t9RarityScore _),
+    "t10_pack_sequences" -> (t10PackSequences _),
     "t5_top_terms" -> (t5TopTerms _),
     "t1_langid" -> (t1Langid _),
     "t2_quality_score" -> (t2Quality _),
@@ -382,6 +434,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t9_rarity_score" -> t9Sql,
+    "t10_pack_sequences" -> t10Sql,
     "t5_top_terms" -> t5Sql,
     "t1_langid" -> t1Sql,
     "t2_quality_score" -> t2Sql,

@@ -363,6 +363,61 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("t10 packing: per-source token conservation and contiguous offsets") {
+    // ground truth independent of both engines: replay the packing in
+    // plain Scala from the raw documents
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).length.toLong))
+    val got = pipeline.TextAnalysis.t10PackSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .toMap
+    assert(got.size == docs.length)
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      var off = 0L
+      rows.sortBy(_._2).foreach { case (_, id, nToks) =>
+        val (gToks, gOff, gFirst, gLast, gN, gStraddles) = got((src, id))
+        assert(gToks == nToks, s"doc $id n_toks")
+        assert(gOff == off, s"doc $id tok_off: got $gOff, expected $off")
+        assert(gFirst == off / pipeline.TextAnalysis.SeqBudget)
+        assert(gLast == (off + nToks - 1) / pipeline.TextAnalysis.SeqBudget)
+        assert(gN == gLast - gFirst + 1)
+        assert(gStraddles == (gN > 1))
+        off += nToks
+      }
+    }
+  }
+
+  test("d11 span coverage: d4-verified near-dup docs are span-flagged") {
+    // a doc that is a near-copy of another (d4 jaccard > 0.9) shares
+    // almost all its 5-token spans with its twin -> high repeated-span
+    // coverage and a drop verdict. This is the ground-truth link between
+    // the span view and the doc view (the oracle replays the same plan,
+    // so cross-operator consistency is the real check).
+    val d11 = Dedup.d11SpanDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    val dupDocs = Dedup.d4NgramJaccard(spark, sf).filter(col("jaccard") > 0.9)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(dupDocs.nonEmpty, "test data should contain planted near-dups")
+    dupDocs.foreach { d =>
+      val (nSpans, nRep, frac, drop) = d11(d)
+      assert(nSpans > 0, s"near-dup doc $d has no spans")
+      assert(frac >= 0.5 && drop,
+        s"near-dup doc $d not span-flagged (rep_frac=$frac)")
+      assert(nRep <= nSpans)
+    }
+    // every doc is reported exactly once, flags consistent with fractions
+    assert(d11.size == Tables.documents(spark, sf).count())
+    d11.values.foreach { case (nSpans, nRep, frac, drop) =>
+      val expFrac = if (nSpans > 0) nRep.toDouble / nSpans else 0.0
+      assert(frac == expFrac)
+      assert(drop == (frac >= Dedup.SpanDropFrac))
+    }
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString
