@@ -926,9 +926,77 @@ object Dedup {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- d13_cluster_mixture: cluster-balanced corpus capping ---------------
+  // The embedding-space counterpart of d8's source mixture: assign every
+  // vector to its nearest coarse centroid (s3's deterministic IVF
+  // codebook: the first NumCentroids vectors), then cap each cluster at
+  // an equal share of half the corpus — the SemDeDup-style curation move
+  // that stops one over-represented semantic cluster (boilerplate, spam
+  // templates) from dominating the training mixture. Reports per-cluster
+  // occupancy, label diversity, the cap, and how much survives.
+  // Scale: the codebook is broadcast (8 rows; k rows generally) and
+  // assignment is a map-side argmax folded by partial aggregation —
+  // groupBy(vec_id) with max_by collapses the k candidate rows per vector
+  // BEFORE the shuffle (vs s3's window form, which moves all k and
+  // sorts); the cluster rollup and the 1-row total are partial-agg'd and
+  // broadcast-joined. Nothing all-pairs, nothing driver-side.
+  def d13ClusterMixture(s: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.normed(s, dir)
+    val cents = e.filter(col("vec_id") < Similarity.NumCentroids)
+      .select(col("vec_id").as("c_id"), col("emb").as("ce"), col("norm").as("cn"))
+    // argmax by (cosine desc, c_id asc) without a window: max_by over the
+    // (c_cos, -c_id) ordering struct — ties on cosine are impossible to
+    // distinguish from the window form because both break by c_id
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        Similarity.cosine(col("emb"), col("ce"), col("norm"), col("cn")))
+      .groupBy("vec_id", "label")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("nid")))
+        .as("cluster"))
+    val tot = e.agg(count(lit(1)).as("n_total"))
+    val denom = 2 * Similarity.NumCentroids
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+           count_distinct(col("label")).as("n_labels"))
+      .join(broadcast(tot))
+      .withColumn("cap", expr(s"(n_total + ${denom - 1}) div $denom"))
+      .withColumn("n_kept", least(col("n_vecs"), col("cap")))
+      .withColumn("keep_frac",
+        col("n_kept").cast("double") / col("n_vecs").cast("double"))
+      .select("cluster", "n_vecs", "n_labels", "cap", "n_kept", "keep_frac")
+      .orderBy("cluster")
+  }
+
+  val d13Sql: String = {
+    val k = Similarity.NumCentroids
+    val denom = 2 * k
+    s"""WITH ${Similarity.normedSql},
+       |cents AS (
+       |  SELECT vec_id AS c_id, emb AS ce, norm AS cn FROM normed
+       |  WHERE vec_id < $k),
+       |assigned AS (
+       |  SELECT vec_id, label, c_id AS cluster FROM (
+       |    SELECT e.vec_id, e.label, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${Similarity.cosineSql("e.emb", "c.ce", "e.norm", "c.cn")} DESC,
+       |        c.c_id) AS arnk
+       |    FROM normed e CROSS JOIN cents c) WHERE arnk = 1),
+       |tot AS (SELECT COUNT(*) AS n_total FROM normed),
+       |sizes AS (
+       |  SELECT cluster, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels
+       |  FROM assigned GROUP BY cluster)
+       |SELECT cluster, n_vecs, n_labels,
+       |  (n_total + ${denom - 1}) // $denom AS cap,
+       |  LEAST(n_vecs, (n_total + ${denom - 1}) // $denom) AS n_kept,
+       |  CAST(LEAST(n_vecs, (n_total + ${denom - 1}) // $denom) AS DOUBLE) /
+       |    CAST(n_vecs AS DOUBLE) AS keep_frac
+       |FROM sizes CROSS JOIN tot ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d11_span_dedup" -> (d11SpanDedup _),
+    "d13_cluster_mixture" -> (d13ClusterMixture _),
     "d6_canonical_dedup" -> (d6CanonicalDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
@@ -943,6 +1011,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d11_span_dedup" -> d11Sql,
+    "d13_cluster_mixture" -> d13Sql,
     "d6_canonical_dedup" -> d6Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

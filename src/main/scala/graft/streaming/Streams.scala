@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Det, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -329,7 +329,68 @@ object Streams {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- st8_stream_mixture: hash-threshold sampling as an ingest gate ------
+  /** d8's deterministic mixture sampling moved to the stream boundary:
+    * each arriving event is kept by the same hash-threshold rule a batch
+    * re-run would apply (pmod of the ring hash of its identity < the
+    * type's quota), so the sampled stream is REPRODUCIBLE — replaying the
+    * log yields bit-identical admission decisions, and a batch backfill
+    * agrees with what the live gate admitted. Heavy telemetry types
+    * (view/click) keep 25%; business-critical types keep everything.
+    * Unknown types fail loudly (raise_error) rather than silently
+    * re-bucketing — same doctrine as d8's source validation.
+    * The keep decision itself is stateless/map-side (zero shuffle at the
+    * gate); the windowed admission report is ONE watermarked streaming
+    * aggregation, the standard monitoring sink.
+    */
+  private def st8Quota: Column =
+    when(col("event_type").isin("view", "click"), 2500L)
+      .when(col("event_type").isin("purchase", "signup", "error"), 10000L)
+      .otherwise(raise_error(
+        concat(lit("st8: unexpected event type: "), col("event_type"))))
+
+  def mixtureGateTransform(events: DataFrame): DataFrame =
+    events
+      .withColumn("quota_bp", st8Quota)
+      .withColumn("kept",
+        pmod(graft.functions.GenKey(
+          concat(col("event_type"), lit("/"), col("event_id").cast("string"))),
+          lit(10000L)) < col("quota_bp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("quota_bp"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+              col("event_type"), col("quota_bp"), col("n_events"), col("n_kept"),
+              (col("n_kept").cast("double") / col("n_events").cast("double"))
+                .as("keep_rate"))
+
+  def st8StreamMixture(s: SparkSession, dir: String): DataFrame =
+    mixtureGateTransform(Tables.events(s, dir))
+      .orderBy("window_start", "event_type")
+
+  val st8Sql: String = {
+    val h = graft.arrays.HashRing.duckGenKey(
+      "event_type || '/' || CAST(event_id AS VARCHAR)")
+    s"""SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_start,
+       |  event_type, quota_bp, COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS keep_rate
+       |FROM (
+       |  SELECT ts, event_type, quota_bp, ($h) % 10000 < quota_bp AS kept
+       |  FROM (
+       |    SELECT ts, event_type, event_id,
+       |      CAST(CASE WHEN event_type IN ('view', 'click') THEN 2500
+       |                WHEN event_type IN ('purchase', 'signup', 'error') THEN 10000
+       |                ELSE CAST(error('st8: unexpected event type: ' || event_type) AS INTEGER)
+       |           END AS BIGINT) AS quota_bp
+       |    FROM events))
+       |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_stream_mixture" -> (st8StreamMixture _),
     "st1_stream_window" -> (st1StreamWindow _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stream_session" -> (st3StreamSession _),
@@ -340,6 +401,7 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "st8_stream_mixture" -> st8Sql,
     "st1_stream_window" -> st1Sql,
     "st2_stream_dedup" -> st2Sql,
     "st3_stream_session" -> st3Sql,

@@ -418,6 +418,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d13 cluster mixture: occupancy matches a JVM-side argmax recount") {
+    // independent ground truth: recompute every vector's nearest-centroid
+    // assignment in plain Scala (same left-to-right fold the engines use)
+    // and check cluster occupancy + cap arithmetic
+    val vecs = Similarity.normed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Double]]("emb").toArray, r.getAs[Double]("norm")))
+    val cents = vecs.filter(_._1 < Similarity.NumCentroids).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double], na: Double, nb: Double) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (na * nb)
+    }
+    val assign = vecs.map { case (id, label, e, n) =>
+      val best = cents.map { case (cid, _, ce, cn) => (cid, cos(e, ce, n, cn)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+      (id, label, best)
+    }
+    val expSizes = assign.groupBy(_._3).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).distinct.length.toLong)).toMap
+    val total = vecs.length.toLong
+    val cap = (total + 2 * Similarity.NumCentroids - 1) / (2 * Similarity.NumCentroids)
+    val got = Dedup.d13ClusterMixture(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == expSizes.keySet)
+    got.foreach { r =>
+      val (cl, nVecs, nLabels, gCap, nKept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert((nVecs, nLabels) == expSizes(cl), s"cluster $cl occupancy")
+      assert(gCap == cap)
+      assert(nKept == math.min(nVecs, cap))
+      assert(r.getDouble(5) == nKept.toDouble / nVecs)
+    }
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString

@@ -33,6 +33,29 @@ class StreamingSpec extends SparkSpec {
       "streaming window agg != batch window agg")
   }
 
+  test("st8: streaming mixture gate converges to the batch admission report") {
+    val stream = Streams.readEventsStream(spark, eventsDir)
+    val q = Streams.mixtureGateTransform(stream)
+      .writeStream.format("memory").queryName("st8_mem")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st8_mem")
+    val batch = Streams.st8StreamMixture(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "streaming mixture gate != batch mixture report")
+    // the gate is reproducible: a second batch replay agrees bit-exactly
+    val replay = Streams.st8StreamMixture(spark, sf)
+    assert(batch.except(replay).count() == 0)
+    // quotas actually bind: heavy types admit ~25%, critical types 100%
+    val rates = batch.groupBy("event_type")
+      .agg(sum("n_kept").as("k"), sum("n_events").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / r.getLong(2)).toMap
+    assert(rates("purchase") == 1.0 && rates("signup") == 1.0 && rates("error") == 1.0)
+    assert(rates("view") < 0.5 && rates("click") < 0.5)
+  }
+
   test("st3: flatMapGroupsWithState sessionization equals the batch sessionizer") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
