@@ -993,10 +993,70 @@ object Dedup {
        |FROM sizes CROSS JOIN tot ORDER BY cluster""".stripMargin
   }
 
+  // --- d12_bloom_decontaminate: Bloom-prefiltered contamination gate ------
+  // d9's architecture upgraded for benchmark sets too big to broadcast
+  // exactly: the benchmark's shingle fingerprints fold into a fixed-size
+  // Bloom bitset (graft.functions.BloomBuildAgg — one partial-agg'd pass,
+  // NumWords longs per partition on the wire), the corpus probes the 8 KB
+  // broadcast value map-side (BloomMightContain, codegen'd), and only
+  // bloom-POSITIVE rows — true overlap plus the engineered fp rate —
+  // reach the exact verification join. Output separates the two:
+  // n_candidates (bloom-positive distinct shingles) vs n_confirmed
+  // (exactly verified), so the fp behavior is observable and
+  // oracle-checked, and the final contaminated verdict is EXACT (bloom
+  // has no false negatives; the verify join removes the false
+  // positives). The oracle mirrors the bitset relationally: a shingle is
+  // bloom-positive iff every one of its K positions is in the union of
+  // benchmark positions — precisely what the bitset stores.
+  def d12BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingleRows(s, dir)
+    val bench = sh.filter(col("doc_id") < 20).select("h").distinct()
+    val bloom = bench.agg(graft.functions.BloomBuildAgg(col("h")).as("bloom"))
+    val cand = sh.filter(col("doc_id") >= 20)
+      .join(broadcast(bloom))
+      .filter(graft.functions.BloomMightContain(col("bloom"), col("h")))
+      .select("doc_id", "h")
+    cand.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("h")).as("n_candidates"),
+           count_distinct(when(col("hit").isNotNull, col("h"))).as("n_confirmed"))
+      .withColumn("contaminated", col("n_confirmed") >= ContamThreshold)
+      .orderBy("doc_id")
+  }
+
+  val d12Sql: String = {
+    import graft.functions.BloomImpl.{NumBits, K, P => BP}
+    def posExprs(h: String): String =
+      (0 until K).map { j =>
+        val (a, b) = (graft.functions.BloomImpl.hashA(j), graft.functions.BloomImpl.hashB(j))
+        s"(($a * $h + $b) % $BP) % $NumBits"
+      }.mkString("[", ", ", "]")
+    s"""WITH $hashedShinglesSql,
+       |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 20),
+       |bpos AS (SELECT DISTINCT pos FROM (
+       |  SELECT unnest(${posExprs("h")}) AS pos FROM bench)),
+       |c AS (SELECT doc_id, h FROM hs WHERE doc_id >= 20),
+       |cpos AS (SELECT doc_id, h, unnest(${posExprs("h")}) AS pos FROM c),
+       |probe AS (
+       |  SELECT doc_id, h,
+       |    COUNT(DISTINCT cpos.pos) AS np,
+       |    COUNT(DISTINCT CASE WHEN bp.pos IS NOT NULL THEN cpos.pos END) AS nm
+       |  FROM cpos LEFT JOIN bpos bp ON cpos.pos = bp.pos
+       |  GROUP BY doc_id, h),
+       |cand AS (SELECT doc_id, h FROM probe WHERE np = nm)
+       |SELECT c.doc_id, COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed,
+       |  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    >= $ContamThreshold AS contaminated
+       |FROM cand c LEFT JOIN bench b ON c.h = b.h
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d11_span_dedup" -> (d11SpanDedup _),
     "d13_cluster_mixture" -> (d13ClusterMixture _),
+    "d12_bloom_decontaminate" -> (d12BloomDecontaminate _),
     "d6_canonical_dedup" -> (d6CanonicalDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
@@ -1012,6 +1072,7 @@ object Dedup {
     "d1_exact_dedup" -> d1Sql,
     "d11_span_dedup" -> d11Sql,
     "d13_cluster_mixture" -> d13Sql,
+    "d12_bloom_decontaminate" -> d12Sql,
     "d6_canonical_dedup" -> d6Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

@@ -452,6 +452,52 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("d12 bloom gate: confirmed verdicts equal d9 exactly (no false negatives)") {
+    // the bloom prefilter may only ADD candidates (false positives,
+    // removed by the verify join) — the confirmed counts and the final
+    // contaminated set must be bit-identical to d9's exact architecture
+    val d9 = Dedup.d9Decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d12 = Dedup.d12BloomDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val contaminated = d12.filter(_._4).map(t => t._1 -> t._3).toMap
+    assert(contaminated == d9,
+      s"bloom-gated verdicts diverge from exact: ${contaminated.toSet -- d9.toSet}")
+    d12.foreach { case (doc, nCand, nConf, _) =>
+      assert(nCand >= nConf, s"doc $doc: candidates < confirmed")
+    }
+  }
+
+  test("bloom filter kernel: no false negatives, merge = union, fp rate engineered") {
+    import graft.functions.BloomImpl
+    // 5k keys in 64 Kbit at k=4: fill = 1-e^(-20000/65536) ~ 0.26,
+    // fp ~ fill^4 ~ 0.5% — the filter's design load
+    val inserted = (0L until 5000L).map(i => (i * 2654435761L) % 4294967296L)
+    val insertedSet = inserted.toSet
+    val words = new Array[Long](BloomImpl.NumWords)
+    inserted.foreach(BloomImpl.setBits(words, _))
+    val bytes = BloomImpl.serialize(words)
+    // no false negatives, ever
+    inserted.foreach(h => assert(BloomImpl.mightContain(bytes, h)))
+    // serialize/deserialize round-trips
+    assert(BloomImpl.deserialize(bytes).sameElements(words))
+    // merge (partition OR) equals building once
+    val (wa, wb) = (new Array[Long](BloomImpl.NumWords), new Array[Long](BloomImpl.NumWords))
+    inserted.take(2500).foreach(BloomImpl.setBits(wa, _))
+    inserted.drop(2500).foreach(BloomImpl.setBits(wb, _))
+    var i = 0
+    while (i < wa.length) { wa(i) |= wb(i); i += 1 }
+    assert(wa.sameElements(words), "merged partials != single-pass build")
+    // the fp path exists and is bounded: at the design fill ratio some
+    // absent keys probe positive, but around the engineered ~0.5%
+    val absent = (0L until 100000L).map(i => 4000000000L + i)
+      .filterNot(insertedSet.contains)
+    val fps = absent.count(BloomImpl.mightContain(bytes, _))
+    assert(fps > 0, "fill ratio should produce observable false positives")
+    assert(fps < absent.length / 50,
+      s"false-positive rate out of band: $fps / ${absent.length}")
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString

@@ -161,7 +161,8 @@ class PlanAuditSpec extends SparkSpec {
     // the big side shuffles — a silent 100 TB regression.
     val expectBroadcast = Seq("d9_decontaminate", "t5_top_terms",
       "t9_rarity_score", "s1_knn_brute", "s2_lsh_ann", "s3_ivf_ann",
-      "s4_sq_ann", "s5_ann_recall", "st7_stream_decontaminate")
+      "s4_sq_ann", "s5_ann_recall", "st7_stream_decontaminate",
+      "d11_span_dedup", "d12_bloom_decontaminate", "d13_cluster_mixture")
     expectBroadcast.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, sf)
         .queryExecution.executedPlan.toString
@@ -174,6 +175,19 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(d10.contains("BroadcastExchange"),
       s"d10's label join should broadcast:\n${d10.take(800)}")
+  }
+
+  test("d12: bloom probe is a codegen'd map-side filter, bitset built by partial agg") {
+    val plan = SparkEntry.queries("d12_bloom_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the probe must appear as a Filter condition (map-side pruning
+    // BEFORE the verify join), not only inside a join condition
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"bloom probe missing from d12 plan:\n${plan.take(1200)}")
+    // the bitset aggregate partial-aggregates map-side: the shuffle
+    // carries one buffer per partition, not one row per shingle
+    assert(plan.contains("partial_graft_bloom_build"),
+      s"bloom build is not partial-aggregated:\n${plan.take(1200)}")
   }
 
   test("no native graft expression evaluates under an interpreted lambda") {
