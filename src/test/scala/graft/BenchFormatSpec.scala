@@ -51,7 +51,7 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(fine.contains(":0.37") && fine.contains(":1.23"),
         s"expected 2-decimal timings for ${names.size} keys under a " +
           "realistic timing mix")
-    } else {
+    } else if (names.size <= 92) {
       // past the ~85-key boundary the 2000-char window physically cannot
       // hold 2-decimal for every key (name bytes alone are ~18/key): the
       // DOCUMENTED degradation is 100ms stdout resolution with the
@@ -61,23 +61,38 @@ class BenchFormatSpec extends AnyFunSuite {
         "per-query map must survive at >=100ms resolution")
       assert(names.forall(n => fine.contains("\"" + n + "\":")),
         "every query key must stay on the line after precision fallback")
+    } else {
+      // ~93+ keys: name bytes alone (~18/key) crowd out even 1-decimal
+      // values. The stdout map degrades to whole-second resolution — its
+      // remaining job is key presence + order-of-magnitude — and the
+      // committed BENCH_FULL.json (3-decimal, per-run raw times) is the
+      // authoritative timing artifact. The non-negotiable invariants:
+      // every key survives, and the head NEVER truncates.
+      assert(names.forall(n => fine.contains("\"" + n + "\":")),
+        "every query key must stay on the line after precision fallback")
     }
     assert(!fine.contains("\"failed\""),
       "failed field should be omitted when nothing failed")
   }
 
-  test("pathological all-4-char-value case degrades to 100ms, never truncates") {
-    // every value exactly "9.99" (nothing trims) stopped fitting 2-decimal
-    // at 87 keys — the capacity boundary is ~85. The stepwise fallback
-    // must engage (100ms resolution — the committed BENCH_FULL.json keeps
-    // 3-decimal regardless) and the line must stay inside the window; a
-    // HEAD-truncated line (parsed:null, round 3) is the failure mode this
-    // guards, a 1-decimal stdout summary is the documented degradation.
+  test("pathological all-4-char-value case fits the window, never truncates") {
+    // every value exactly "9.94" (nothing trims at ANY precision — prec 0
+    // rounds to "10", still 2 chars/value). Up to ~92 keys the precision
+    // fallback holds the map; past that, name bytes alone overflow the
+    // window and the GUARANTEED-FIT last resort (drop the per-query map,
+    // keep total + pointer note) must engage. A HEAD-truncated line
+    // (parsed:null, round 3) is the failure mode this guards — an empty
+    // map with an intact total is the documented worst-case degradation
+    // (BENCH_FULL.json keeps 3-decimal per-run times regardless).
     val line = Bench.compactLine(names.map(_ -> 9.94), Nil, 829.17,
       "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, "fallback failed to fit the window")
-    assert(line.contains(":9.94") || line.contains(":9.9"),
-      "per-query map must survive at >=100ms resolution")
+    if (names.size <= 92)
+      assert(line.contains(":9.94") || line.contains(":9.9") || line.contains(":10"),
+        "per-query map must survive the precision fallback")
+    else
+      assert(line.contains("\"value\":829.17") && line.contains(Bench.FullPath),
+        "last-resort line must keep the total and point at the full artifact")
   }
 
   test("trailing-zero trim preserves resolution, not bytes") {
