@@ -237,13 +237,63 @@ object Multimodal {
        |FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bin = g.bin
        |ORDER BY g.doc_id, g.bin""".stripMargin
 
+  // --- m5_pair_manifest ---------------------------------------------------
+  // Training-record assembly: pair each document's raw payload with its
+  // embedding-modality row (vec_id == doc_id where the pair exists) and
+  // emit the shard manifest a multimodal data loader consumes — record
+  // size (payload + 4 bytes/float dim + fixed header) and a DETERMINISTIC
+  // shard assignment (ring hash mod ShardCount), so any worker can
+  // recompute which shard holds which record without a catalog lookup,
+  // and a resumed/backfilled write lands records in identical shards.
+  // Pure declarative plan (no kernel needed): one equi-join of the two
+  // modality tables on the pair key — at 100 TB both sides live
+  // bucket-stored on that key (the a25 doctrine) and the join runs
+  // co-located with zero exchange; the manifest write is partitioned by
+  // `shard`. LEFT join: a payload without an embedding is still a
+  // (text-only) training record, flagged not dropped.
+  val ShardCount = 32
+
+  def m5PairManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        size(col("embedding")).cast("long").as("emb_dims"))
+    d.join(e, Seq("doc_id"), "left")
+      .withColumn("has_emb", col("emb_dims").isNotNull)
+      .withColumn("emb_dims", coalesce(col("emb_dims"), lit(0L)))
+      .withColumn("record_bytes",
+        col("n_bytes") + lit(4L) * col("emb_dims") + lit(16L))
+      .withColumn("shard", pmod(graft.functions.GenKey(
+        concat(lit("m5/"), col("doc_id").cast("string"))), lit(ShardCount.toLong)))
+      .select("doc_id", "source", "n_bytes", "emb_dims", "has_emb",
+              "record_bytes", "shard")
+      .orderBy("doc_id")
+  }
+
+  val m5Sql: String = {
+    val h = graft.arrays.HashRing.duckGenKey("'m5/' || CAST(d.doc_id AS VARCHAR)")
+    s"""SELECT d.doc_id, d.source,
+       |  CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+       |  CAST(COALESCE(len(e.embedding), 0) AS BIGINT) AS emb_dims,
+       |  e.vec_id IS NOT NULL AS has_emb,
+       |  CAST(strlen(d.text) + 4 * COALESCE(len(e.embedding), 0) + 16 AS BIGINT)
+       |    AS record_bytes,
+       |  ($h) % $ShardCount AS shard
+       |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_pair_manifest" -> (m5PairManifest _),
     "m1_multimodal" -> (m1Multimodal _),
     "m2_frame_sample" -> (m2FrameSample _),
     "m3_resize" -> (m3Resize _),
     "m4_feature_extract" -> (m4FeatureExtract _))
 
   val oracles: Map[String, String] = Map(
+    "m5_pair_manifest" -> m5Sql,
     "m1_multimodal" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
     "m3_resize" -> m3Sql,

@@ -498,6 +498,31 @@ class PipelineSpec extends SparkSpec {
       s"false-positive rate out of band: $fps / ${absent.length}")
   }
 
+  test("m5 manifest: shard assignment is deterministic, bounded and balanced") {
+    val rows = Multimodal.m5PairManifest(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    val nPairs = Tables.documents(spark, sf).select("doc_id")
+      .join(Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("doc_id")), "doc_id").count()
+    assert(rows.length == nDocs, "one manifest row per document")
+    assert(rows.count(_.getBoolean(4)) == nPairs, "has_emb must match the pair count")
+    rows.foreach { r =>
+      val (nBytes, dims, hasEmb, recBytes, shard) =
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6))
+      assert(shard >= 0 && shard < Multimodal.ShardCount)
+      assert(recBytes == nBytes + 4 * dims + 16)
+      assert(hasEmb == (dims > 0))
+    }
+    // hash sharding balances: no shard holds more than 3x the fair share
+    val byShard = rows.groupBy(_.getLong(6)).view.mapValues(_.length)
+    assert(byShard.values.max <= 3 * rows.length / Multimodal.ShardCount,
+      s"shard skew: ${byShard.toMap}")
+    // determinism: a replay assigns identical shards
+    val replay = Multimodal.m5PairManifest(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(6)).toMap
+    rows.foreach(r => assert(replay(r.getLong(0)) == r.getLong(6)))
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString
