@@ -180,10 +180,19 @@ class PlanAuditSpec extends SparkSpec {
   test("d12: bloom probe is a codegen'd map-side filter, bitset built by partial agg") {
     val plan = SparkEntry.queries("d12_bloom_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
-    // the probe must appear as a Filter condition (map-side pruning
-    // BEFORE the verify join), not only inside a join condition
+    // the probe must prune map-side BEFORE the verify join. Catalyst
+    // folds the Filter into the 1-row broadcast join's condition
+    // (BroadcastNestedLoopJoin Inner, condition =
+    // graft_bloom_might_contain) — same stage, same map-side semantics,
+    // still codegen'd (BNLJ inner participates in whole-stage codegen);
+    // what must NOT happen is the probe disappearing or migrating
+    // downstream of the exact verify join
     assert(plan.contains("graft_bloom_might_contain"),
       s"bloom probe missing from d12 plan:\n${plan.take(1200)}")
+    val probeAt = plan.indexOf("graft_bloom_might_contain")
+    val verifyAt = plan.indexOf("BroadcastHashJoin")
+    assert(verifyAt < 0 || probeAt > verifyAt,
+      "probe must sit upstream (deeper in the plan tree) of the verify join")
     // the bitset aggregate partial-aggregates map-side: the shuffle
     // carries one buffer per partition, not one row per shingle
     assert(plan.contains("partial_graft_bloom_build"),
