@@ -36,8 +36,14 @@ object BloomImpl {
   val hashA: IndexedSeq[Long] = (0 until K).map(j => (((j + 1) * 2654435761L) % P) | 1L)
   val hashB: IndexedSeq[Long] = (0 until K).map(j => ((j + 1) * 40503L * 65537L + 12345L) % P)
 
+  /** floorMod, not %: the probe expression accepts ANY LongType column —
+    * a negative input under plain % would yield a negative position and
+    * index out of bounds. For the u32 fingerprints the operators feed it
+    * (GenKey ∈ [0, 2^32)) the two are identical, so the oracle's plain %
+    * stays bit-exact.
+    */
   def position(j: Int, h: Long): Int =
-    (((hashA(j) * h + hashB(j)) % P) % NumBits).toInt
+    Math.floorMod(Math.floorMod(hashA(j) * h + hashB(j), P), NumBits).toInt
 
   def setBits(words: Array[Long], h: Long): Unit = {
     var j = 0

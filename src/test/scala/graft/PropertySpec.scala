@@ -96,6 +96,23 @@ object GraftProperties extends Properties("graft") {
     sessions.map(_.n_events).sum == evs.size
   }
 
+  property("bloom.positionInRangeForAnyLong") =
+    Prop.forAll(Gen.choose(0, graft.functions.BloomImpl.K - 1),
+                Gen.choose(Long.MinValue, Long.MaxValue)) { (j, h) =>
+      // the probe expression accepts ANY LongType column, not just u32
+      // fingerprints — positions must stay in-bitset for every input
+      val p = graft.functions.BloomImpl.position(j, h)
+      p >= 0 && p < graft.functions.BloomImpl.NumBits
+    }
+
+  property("bloom.noFalseNegativesForAnyLong") =
+    Prop.forAll(Gen.listOfN(50, Gen.choose(Long.MinValue, Long.MaxValue))) { hs =>
+      val words = new Array[Long](graft.functions.BloomImpl.NumWords)
+      hs.foreach(graft.functions.BloomImpl.setBits(words, _))
+      val bytes = graft.functions.BloomImpl.serialize(words)
+      hs.forall(graft.functions.BloomImpl.mightContain(bytes, _))
+    }
+
   property("sessions.gapInvariants") = Prop.forAll(eventsGen) { evs =>
     val sessions = Streams.buildSessions(7L, evs.iterator).toList
     val ordered = sessions.sortBy(_.sess_idx)
