@@ -42,5 +42,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         RingReplicas(unary("graft_ring_replicas")(args),
           new RingTable(HashRing.current), 3)))
+    def pair(name: String)(args: Seq[Expression]): (Expression, Expression) = {
+      if (args.length != 2)
+        throw new IllegalArgumentException(
+          s"$name expects exactly 2 arguments, got ${args.length}")
+      (args(0), args(1))
+    }
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        val (a, b) = pair("graft_dot")(args); DotProduct(a, b)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        val (bloom, h) = pair("graft_bloom_might_contain")(args)
+        BloomMightContain(bloom, h)
+      }))
   }
 }

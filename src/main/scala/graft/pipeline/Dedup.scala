@@ -1052,11 +1052,54 @@ object Dedup {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
 
+  // --- d14_train_val_split: deterministic leak-free dataset splitting -----
+  // The last gate before training: every document lands in exactly ONE of
+  // train/val/test by a hash threshold on its identity — the same
+  // doctrine as d8's mixture (reproducible, shuffle-free at the split
+  // itself, composable: the key space is partitioned, so membership in
+  // two splits is impossible BY CONSTRUCTION, not by bookkeeping). A
+  // backfill or a re-run assigns every doc identically; per-source split
+  // counts + fractions are the audit a leakage review reads.
+  val TrainBp = 8000L // [0, 8000) train
+  val ValBp = 9000L   // [8000, 9000) val; [9000, 10000) test
+
+  def d14TrainValSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = pmod(graft.functions.GenKey(
+      concat(lit("split/"), col("doc_id").cast("string"))), lit(10000L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(h < TrainBp, "train").when(h < ValBp, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("frac",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(w).cast("double"))
+      .select("source", "split", "n_docs", "frac")
+      .orderBy("source", "split")
+  }
+
+  val d14Sql: String = {
+    val h = HashRing.duckGenKey("'split/' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT source, split, n_docs,
+       |  CAST(n_docs AS DOUBLE) /
+       |    CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS frac
+       |FROM (
+       |  SELECT source, split, COUNT(*) AS n_docs FROM (
+       |    SELECT source,
+       |      CASE WHEN ($h) % 10000 < $TrainBp THEN 'train'
+       |           WHEN ($h) % 10000 < $ValBp THEN 'val'
+       |           ELSE 'test' END AS split
+       |    FROM documents)
+       |  GROUP BY source, split)
+       |ORDER BY source, split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d11_span_dedup" -> (d11SpanDedup _),
     "d13_cluster_mixture" -> (d13ClusterMixture _),
     "d12_bloom_decontaminate" -> (d12BloomDecontaminate _),
+    "d14_train_val_split" -> (d14TrainValSplit _),
     "d6_canonical_dedup" -> (d6CanonicalDedup _),
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
@@ -1073,6 +1116,7 @@ object Dedup {
     "d11_span_dedup" -> d11Sql,
     "d13_cluster_mixture" -> d13Sql,
     "d12_bloom_decontaminate" -> d12Sql,
+    "d14_train_val_split" -> d14Sql,
     "d6_canonical_dedup" -> d6Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

@@ -352,7 +352,54 @@ object Similarity {
        |LEFT JOIN approx a ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  // --- s6_mips_topk: max-inner-product retrieval --------------------------
+  // The retrieval scoring the cosine family doesn't cover: recommendation
+  // and two-tower models rank by the RAW dot product (magnitude carries
+  // signal — popularity, confidence), not the normalized angle. Same
+  // broadcast-query + per-partition-fold shape as s1: the vector table
+  // never moves, queries broadcast, the dot is the single fused native
+  // loop, top-k via window. (At 100 TB the standard MIPS-to-NN reductions
+  // — augmenting a norm dimension so cosine indexes serve MIPS — layer on
+  // top of s2/s3's candidate generators; the exact scorer here is the
+  // re-rank kernel those share.)
+  def s6MipsTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select("vec_id", "emb")
+    val q = e.filter(col("vec_id") >= 300 && col("vec_id") < 305)
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("dot", graft.functions.DotProduct(col("qe"), col("emb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("dot"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val s6Sql: String = {
+    val dot =
+      """list_reduce(list_prepend(0.0,
+        |    list_transform(range(1, len(q.emb) + 1), i -> q.emb[i] * e.emb[i])),
+        |    (acc, x) -> acc + x)""".stripMargin
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, $dot AS dot
+       |  FROM vecs q JOIN vecs e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id >= 300 AND q.vec_id < 305),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY dot DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, neighbor_id, dot FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_mips_topk" -> (s6MipsTopk _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_lsh_ann" -> (s2LshAnn _),
     "s3_ivf_ann" -> (s3IvfAnn _),
@@ -361,6 +408,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s6_mips_topk" -> s6Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql,

@@ -523,6 +523,47 @@ class PipelineSpec extends SparkSpec {
     rows.foreach(r => assert(replay(r.getLong(0)) == r.getLong(6)))
   }
 
+  test("s6 MIPS: top-3 by raw dot matches a JVM-side recount (query 300)") {
+    val vecs = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("emb").toArray))
+    val q = vecs.find(_._1 == 300L).get._2
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+      s0
+    }
+    val expected = vecs.filter(_._1 != 300L)
+      .map { case (id, e) => (id, dot(q, e)) }
+      .sortBy { case (id, d) => (-d, id) }.take(3)
+    val got = Similarity.s6MipsTopk(spark, sf)
+      .filter(col("q_id") === 300L).orderBy("rnk").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq,
+      s"MIPS top-3 mismatch: got ${got.toSeq}, expected ${expected.toSeq}")
+  }
+
+  test("d14 split: exact coverage, leak-free by construction, quotas track") {
+    val rows = Dedup.d14TrainValSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val total = rows.map(_._3).sum
+    assert(total == Tables.documents(spark, sf).count(),
+      "every document lands in exactly one (source, split) cell")
+    // per-source fractions sum to 1 exactly (same-denominator divisions)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-9, s"$src fracs do not sum to 1")
+    }
+    // global proportions track the 80/10/10 hash quotas
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(math.abs(bySplit("train").toDouble / total - 0.8) < 0.08)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) > 0)
+    // replay determinism: a second run produces identical cells
+    val replay = Dedup.d14TrainValSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(replay.toSeq == rows.toSeq)
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString

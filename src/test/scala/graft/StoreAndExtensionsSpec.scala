@@ -71,6 +71,9 @@ class StoreAndExtensionsSpec extends SparkSpec {
   test("GraftExtensions: SQL users get graft_gen_key / graft_ring_place") {
     // extensions apply at session construction: build a sibling session
     // over the same SparkContext with the extensions class wired in
+    // (touch the suite session first so the shared context exists even
+    // when this test runs in isolation)
+    spark.sparkContext
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val sess = SparkSession.builder()
@@ -87,6 +90,27 @@ class StoreAndExtensionsSpec extends SparkSpec {
     val reps = rows.head.getSeq[String](2)
     assert(reps.head == HashRing.current.getNode("click/0-0") &&
            reps.toSet == HashRing.currentNodes.toSet)
+    // second registration batch: vector dot + bloom probe
+    val dot = sess.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot == 32.0)
+    // bloom probe over an explicitly built bitset: all-zero bits reject,
+    // set bits accept (build the 8 KB value in plain Scala — the SQL
+    // surface is the PROBE, the aggregate stays a DataFrame-side tool)
+    val words = new Array[Long](graft.functions.BloomImpl.NumWords)
+    graft.functions.BloomImpl.setBits(words, 42L)
+    val lit = java.util.Base64.getEncoder.encodeToString(
+      graft.functions.BloomImpl.serialize(words))
+    val probe = sess.sql(
+      s"SELECT graft_bloom_might_contain(unbase64('$lit'), 42L) AS hit, " +
+      s"graft_bloom_might_contain(unbase64('$lit'), 43L) AS miss").collect().head
+    assert(probe.getBoolean(0))
+    assert(!probe.getBoolean(1) ||
+      // 43 could collide in principle; the kernel spec pins fp behavior —
+      // here assert only that the call path works and hit is true
+      probe.getBoolean(1) == graft.functions.BloomImpl.mightContain(
+        graft.functions.BloomImpl.serialize(words), 43L))
   }
 
   test("patchPartition rewrites only the target array's partition") {
