@@ -59,15 +59,27 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fnum(total, 2)},"unit":"sec","queries":$qs$fl,"sf":"$sf"}"""
     }
-    // 10ms resolution normally; degrade stepwise (100ms, then whole
-    // seconds), and as the guaranteed-fit last resort drop the per-query
-    // map entirely — a line whose head falls out of the capture window is
-    // worth less than a short one (full precision always lives in
-    // FullPath)
+    // 10ms resolution normally; degrade stepwise to 100ms. Past ~92 keys
+    // the FULL map cannot fit at any precision (name bytes alone are
+    // ~19/key against the 2000-char window), so the next tier keeps the
+    // SLOWEST K queries at 10ms resolution with an explicit marker —
+    // the heavy ops are what a perf reader wants, and real values for
+    // them beat all keys at useless whole-second resolution. Last
+    // resort: drop the map entirely — a line whose head falls out of
+    // the capture window is worth less than a short one (full precision
+    // always lives in FullPath).
+    def renderTop(k: Int): String = {
+      val top = queries.sortBy { case (n, v) => (-v, n) }.take(k)
+        .map { case (n, v) => s""""$n":${fmt(v, 2)}""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fnum(total, 2)},"unit":"sec","queries":$top,"queries_note":"slowest $k of ${queries.size}; full map in $FullPath"$fl,"sf":"$sf"}"""
+    }
     def noQueries: String =
       s"""{"metric":"total","value":${fnum(total, 2)},"unit":"sec","queries":{}$fl,"sf":"$sf","note":"per-query timings in $FullPath"}"""
-    (2 to 0 by -1).iterator.map(render)
+    (2 to 1 by -1).iterator.map(render)
       .find(_.length <= LineBudget)
+      .orElse((queries.size to 1 by -1).iterator.map(renderTop)
+        .find(_.length <= LineBudget))
       .getOrElse(noQueries)
   }
 

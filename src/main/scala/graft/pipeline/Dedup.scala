@@ -1094,9 +1094,108 @@ object Dedup {
        |ORDER BY source, split""".stripMargin
   }
 
+  // --- d15_curation_funnel: the shipped end-to-end curation report --------
+  // The composition every training-data team actually operates: raw →
+  // quality filter (t8) → benchmark decontamination (d9) → exact dedup
+  // keeper selection (d1's contract) → mixture sampling (d8) → train
+  // split (d14), reported as a per-source funnel with one row per source
+  // and monotonically shrinking stage counts. Each stage is the SAME
+  // DataFrame sub-plan the standalone operator ships — the point is that
+  // the stages COMPOSE: Catalyst sees one tree (per-doc flags via joins,
+  // then a single partial-agg'd rollup), not five materialized passes.
+  // Scale: t8's per-doc verdict co-partitions on doc_id; d9's flag list
+  // and the >1-copy keeper table are sub-linear (broadcast; hash join
+  // beyond); d8/d14 flags are map-side hash arithmetic; ONE corpus-wide
+  // rollup at the end.
+  def d15CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.t8QualityFilter(s, dir).select("doc_id", "keep")
+    val contam = d9Decontaminate(s, dir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    // keeper table restricted to >1-copy groups: sub-linear in the corpus
+    val keepers = Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("chash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n") > 1)
+      .select("chash", "keep_id")
+    val sampledH = pmod(graft.functions.GenKey(
+      concat(col("source"), lit("/"), col("doc_id").cast("string"))), lit(10000L))
+    val splitH = pmod(graft.functions.GenKey(
+      concat(lit("split/"), col("doc_id").cast("string"))), lit(10000L))
+    Tables.documents(s, dir)
+      .withColumn("chash", md5(col("text").cast("binary")))
+      .join(quality, "doc_id")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(broadcast(keepers), Seq("chash"), "left")
+      .withColumn("clean",
+        col("keep") && coalesce(col("contaminated"), lit(false)) === false)
+      .withColumn("uniq",
+        col("clean") && (col("keep_id").isNull || col("keep_id") === col("doc_id")))
+      .withColumn("sampled",
+        col("uniq") && sampledH < quotaBp(srcNum))
+      .withColumn("train", col("sampled") && splitH < TrainBp)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+           sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+           sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"),
+           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+           sum(when(col("train"), 1L).otherwise(0L)).as("n_train"))
+      .withColumn("yield_frac",
+        col("n_train").cast("double") / col("n_raw").cast("double"))
+      .select("source", "n_raw", "n_quality", "n_clean", "n_unique",
+              "n_sampled", "n_train", "yield_frac")
+      .orderBy("source")
+  }
+
+  val d15Sql: String = {
+    val sampledH = HashRing.duckGenKey("d.source || '/' || CAST(d.doc_id AS VARCHAR)")
+    val splitH = HashRing.duckGenKey("'split/' || CAST(d.doc_id AS VARCHAR)")
+    val srcNumSql =
+      """CASE WHEN regexp_matches(d.source, '^src[0-9]{1,9}$')
+        |     THEN CAST(regexp_extract(d.source, '^src([0-9]+)$', 1) AS INTEGER)
+        |     ELSE CAST(error('d8: unexpected source name: ' || d.source) AS INTEGER)
+        |END""".stripMargin
+    s"""WITH q AS (${TextAnalysis.t8Sql}),
+       |contam AS ($d9Sql),
+       |keepers AS (
+       |  SELECT chash, keep_id FROM (
+       |    SELECT md5(text) AS chash, COUNT(*) AS n, MIN(doc_id) AS keep_id
+       |    FROM documents GROUP BY 1) WHERE n > 1),
+       |flags AS (
+       |  SELECT d.source, q.keep,
+       |    q.keep AND c.doc_id IS NULL AS clean,
+       |    q.keep AND c.doc_id IS NULL
+       |      AND (k.keep_id IS NULL OR k.keep_id = d.doc_id) AS uniq,
+       |    q.keep AND c.doc_id IS NULL
+       |      AND (k.keep_id IS NULL OR k.keep_id = d.doc_id)
+       |      AND ($sampledH) % 10000 <
+       |        CASE WHEN ($srcNumSql) < 5 THEN 10000
+       |             WHEN ($srcNumSql) < 10 THEN 5000 ELSE 2500 END AS sampled,
+       |    q.keep AND c.doc_id IS NULL
+       |      AND (k.keep_id IS NULL OR k.keep_id = d.doc_id)
+       |      AND ($sampledH) % 10000 <
+       |        CASE WHEN ($srcNumSql) < 5 THEN 10000
+       |             WHEN ($srcNumSql) < 10 THEN 5000 ELSE 2500 END
+       |      AND ($splitH) % 10000 < $TrainBp AS train
+       |  FROM documents d
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  LEFT JOIN contam c ON d.doc_id = c.doc_id
+       |  LEFT JOIN keepers k ON md5(d.text) = k.chash)
+       |SELECT source, COUNT(*) AS n_raw,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |  CAST(SUM(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(CASE WHEN train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN train THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS yield_frac
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1ExactDedup _),
     "d11_span_dedup" -> (d11SpanDedup _),
+    "d15_curation_funnel" -> (d15CurationFunnel _),
     "d13_cluster_mixture" -> (d13ClusterMixture _),
     "d12_bloom_decontaminate" -> (d12BloomDecontaminate _),
     "d14_train_val_split" -> (d14TrainValSplit _),
@@ -1117,6 +1216,7 @@ object Dedup {
     "d13_cluster_mixture" -> d13Sql,
     "d12_bloom_decontaminate" -> d12Sql,
     "d14_train_val_split" -> d14Sql,
+    "d15_curation_funnel" -> d15Sql,
     "d6_canonical_dedup" -> d6Sql,
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,

@@ -62,37 +62,38 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(names.forall(n => fine.contains("\"" + n + "\":")),
         "every query key must stay on the line after precision fallback")
     } else {
-      // ~93+ keys: name bytes alone (~18/key) crowd out even 1-decimal
-      // values. The stdout map degrades to whole-second resolution — its
-      // remaining job is key presence + order-of-magnitude — and the
-      // committed BENCH_FULL.json (3-decimal, per-run raw times) is the
-      // authoritative timing artifact. The non-negotiable invariants:
-      // every key survives, and the head NEVER truncates.
-      assert(names.forall(n => fine.contains("\"" + n + "\":")),
-        "every query key must stay on the line after precision fallback")
+      // ~93+ keys: name bytes alone (~19/key) mean the FULL map cannot
+      // fit at ANY precision. The slowest-K tier engages: real 10ms
+      // values for the heavy ops (what a perf reader wants), an explicit
+      // marker, and the committed BENCH_FULL.json (3-decimal, per-run
+      // raw times) as the authoritative full artifact. The slowest op
+      // must be present at full resolution; the head NEVER truncates.
+      assert(fine.contains("\"queries_note\":\"slowest "),
+        "subset tier must be explicitly marked")
+      assert(fine.contains(":1.23"),
+        "the slowest ops must keep 10ms resolution in the subset tier")
     }
     assert(!fine.contains("\"failed\""),
       "failed field should be omitted when nothing failed")
   }
 
   test("pathological all-4-char-value case fits the window, never truncates") {
-    // every value exactly "9.94" (nothing trims at ANY precision — prec 0
-    // rounds to "10", still 2 chars/value). Up to ~92 keys the precision
-    // fallback holds the map; past that, name bytes alone overflow the
-    // window and the GUARANTEED-FIT last resort (drop the per-query map,
-    // keep total + pointer note) must engage. A HEAD-truncated line
-    // (parsed:null, round 3) is the failure mode this guards — an empty
-    // map with an intact total is the documented worst-case degradation
-    // (BENCH_FULL.json keeps 3-decimal per-run times regardless).
+    // every value exactly "9.94" (nothing trims). Up to ~92 keys the
+    // precision fallback holds the full map; past that the slowest-K
+    // subset tier engages — full-resolution values for as many keys as
+    // fit, explicitly marked. A HEAD-truncated line (parsed:null,
+    // round 3) is the failure mode this guards (BENCH_FULL.json keeps
+    // 3-decimal per-run times regardless).
     val line = Bench.compactLine(names.map(_ -> 9.94), Nil, 829.17,
       "/root/testdata/sf0.1")
     assert(line.length <= Bench.LineBudget, "fallback failed to fit the window")
+    assert(line.contains("\"value\":829.17"), "total must survive every tier")
     if (names.size <= 92)
-      assert(line.contains(":9.94") || line.contains(":9.9") || line.contains(":10"),
+      assert(line.contains(":9.94") || line.contains(":9.9"),
         "per-query map must survive the precision fallback")
     else
-      assert(line.contains("\"value\":829.17") && line.contains(Bench.FullPath),
-        "last-resort line must keep the total and point at the full artifact")
+      assert(line.contains(":9.94") && line.contains("\"queries_note\":"),
+        "subset tier must keep full-resolution values and the marker")
   }
 
   test("trailing-zero trim preserves resolution, not bytes") {
@@ -106,13 +107,20 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains("\"q\":0.3,\"r\":2"))
   }
 
-  test("every query key appears exactly once in the compact line") {
+  test("no query key is ever duplicated; small inventories render in full") {
     val line = Bench.compactLine(names.map(_ -> 0.1), Nil, 7.4, "/x")
     names.foreach { n =>
       assert(line.indexOf("\"" + n + "\":") === line.lastIndexOf("\"" + n + "\":"),
         s"$n duplicated")
-      assert(line.contains("\"" + n + "\":"), s"$n missing")
+      // in the subset tier a key may legitimately be absent (marked);
+      // absent + unmarked would mean silent truncation
+      assert(line.contains("\"" + n + "\":") || line.contains("\"queries_note\":"),
+        s"$n missing from an unmarked line")
     }
+    // an inventory that fits must render every key, unmarked
+    val small = Bench.compactLine(names.take(40).map(_ -> 0.1), Nil, 4.0, "/x")
+    assert(!small.contains("\"queries_note\":"))
+    names.take(40).foreach(n => assert(small.contains("\"" + n + "\":")))
   }
 
   test("previousTimes parses the flat queries map out of a full-bench file") {

@@ -564,6 +564,32 @@ class PipelineSpec extends SparkSpec {
     assert(replay.toSeq == rows.toSeq)
   }
 
+  test("d15 funnel: stages shrink monotonically and agree with the standalone ops") {
+    val rows = Dedup.d15CurationFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, raw, q, c, u, sm, tr, yf) =>
+      assert(raw >= q && q >= c && c >= u && u >= sm && sm >= tr,
+        s"$src funnel not monotone: $raw >= $q >= $c >= $u >= $sm >= $tr")
+      assert(yf == tr.toDouble / raw)
+    }
+    // stage totals agree with the operators the funnel composes
+    assert(rows.map(_._1).toSeq ==
+      Tables.documents(spark, sf).select("source").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq)
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    val t8Keep = pipeline.TextAnalysis.t8QualityFilter(spark, sf)
+      .filter(col("keep")).count()
+    assert(rows.map(_._3).sum == t8Keep, "n_quality must equal t8's keep count")
+    val contaminated = Dedup.d9Decontaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val qualityDocs = pipeline.TextAnalysis.t8QualityFilter(spark, sf)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._4).sum == (qualityDocs -- contaminated).size,
+      "n_clean must equal quality minus contaminated")
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString
