@@ -1015,11 +1015,19 @@ object Dedup {
     val cand = sh.filter(col("doc_id") >= 20)
       .join(broadcast(bloom))
       .filter(graft.functions.BloomMightContain(col("bloom"), col("h")))
-      .select("doc_id", "h")
-    cand.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("h"), "left")
-      .groupBy("doc_id")
-      .agg(count_distinct(col("h")).as("n_candidates"),
-           count_distinct(when(col("hit").isNotNull, col("h"))).as("n_confirmed"))
+      .select("doc_id", "h").distinct()
+    // exact verify WITHOUT pinning the benchmark as the broadcast side —
+    // a benchmark that outgrew broadcast is the premise of this operator.
+    // INNER join so either side can build (the bloom-positive candidate
+    // set is tiny by construction — the planner broadcasts IT beyond
+    // test scale; a LEFT join would force the bench to the build side),
+    // then the per-doc candidate and confirmed counts — both doc-sized
+    // frames — merge with one small outer join.
+    val perCand = cand.groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    val perConf = cand.join(bench, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_confirmed"))
+    perCand.join(perConf, Seq("doc_id"), "left")
+      .withColumn("n_confirmed", coalesce(col("n_confirmed"), lit(0L)))
       .withColumn("contaminated", col("n_confirmed") >= ContamThreshold)
       .orderBy("doc_id")
   }
