@@ -888,7 +888,11 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
       .select(col("h"), lit(1L).as("hit"))
-    val per = sp.join(broadcast(rep), Seq("h"), "left")
+    // no broadcast hint: cross-doc-repeated spans are usually a small
+    // fraction of distinct spans (AQE broadcasts them at these SFs), but
+    // a boilerplate-heavy corpus can grow rep past broadcast range — the
+    // planner must stay free to fall back to a shuffle join on h
+    val per = sp.join(rep, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
            sum(coalesce(col("hit"), lit(0L))).as("n_rep"))
@@ -1129,11 +1133,16 @@ object Dedup {
       concat(col("source"), lit("/"), col("doc_id").cast("string"))), lit(10000L))
     val splitH = pmod(graft.functions.GenKey(
       concat(lit("split/"), col("doc_id").cast("string"))), lit(10000L))
+    // contam and keepers carry no broadcast hints: both are sub-linear
+    // in the usual case (AQE broadcasts them here), but contamination
+    // against a huge benchmark and >1-copy groups under heavy
+    // duplication can each outgrow broadcast — the planner must stay
+    // free to shuffle-join either
     Tables.documents(s, dir)
       .withColumn("chash", md5(col("text").cast("binary")))
       .join(quality, "doc_id")
-      .join(broadcast(contam), Seq("doc_id"), "left")
-      .join(broadcast(keepers), Seq("chash"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(keepers, Seq("chash"), "left")
       .withColumn("clean",
         col("keep") && coalesce(col("contaminated"), lit(false)) === false)
       .withColumn("uniq",
