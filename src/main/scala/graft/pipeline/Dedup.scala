@@ -701,7 +701,11 @@ object Dedup {
     val labels = labelsStored(s, dir)
       .select(col("doc").as("doc_id"), col("lbl").as("group_id"))
     Tables.documents(s, dir)
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      // no broadcast hint: the label table scales with the DUPLICATED
+      // fraction of the corpus — usually far smaller (AQE broadcasts it
+      // here), but a heavily-mirrored corpus can grow it past broadcast
+      // range; the planner must stay free to shuffle-join on doc_id
+      .join(labels, Seq("doc_id"), "left")
       .withColumn("dropped",
         col("group_id").isNotNull && col("group_id") =!= col("doc_id"))
       .groupBy("source")

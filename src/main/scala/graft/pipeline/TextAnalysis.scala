@@ -163,7 +163,11 @@ object TextAnalysis {
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
-    tf.join(broadcast(df), "tok")
+    // no broadcast hint: the df table is vocabulary-sized (sub-linear,
+    // Heaps' law — AQE broadcasts it at every test SF) but a 100 TB
+    // corpus's vocabulary can outgrow broadcast; the planner must stay
+    // free to hash-join on the same key
+    tf.join(df, "tok")
       .withColumn("score", expr("tf * 1000000000L div df"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
@@ -342,7 +346,8 @@ object TextAnalysis {
     val vocab = toks.groupBy("h").agg(count(lit(1)).as("n"))
       .withColumn("bits", length(bin(col("n"))).cast("long"))
     val mx = vocab.agg(max(col("bits")).as("maxbits"))
-    toks.join(broadcast(vocab), "h")
+    // vocab unpinned for the same reason as t5's df table
+    toks.join(vocab, "h")
       .join(broadcast(mx))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
