@@ -56,6 +56,20 @@ class StreamingSpec extends SparkSpec {
     assert(rates("view") < 0.5 && rates("click") < 0.5)
   }
 
+  test("st8: an unknown event type fails loudly instead of re-bucketing") {
+    import spark.implicits._
+    val bogus = Seq((1L, 1700000000000000L, 7L, "mystery_type", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val ex = intercept[Exception] {
+      Streams.mixtureGateTransform(bogus).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("st8: unexpected event type")),
+      s"expected the validation raise, got: $ex")
+  }
+
   test("st3: flatMapGroupsWithState sessionization equals the batch sessionizer") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
