@@ -972,6 +972,7 @@ object ArrayOps {
     "a14_dense_read" -> (a14DenseRead _),
     "a15_subset_stats" -> (a15SubsetStats _),
     "a16_label_read" -> (a16LabelRead _),
+    "a32_varray_patch" -> (a32VarrayPatch _),
     "a1_grid_build" -> (a1GridBuild _),
     "a2_subset_read" -> (a2SubsetRead _),
     "a3_subset_update" -> (a3SubsetUpdate _),
@@ -1001,7 +1002,71 @@ object ArrayOps {
     "a31_dense_read_3d" -> (a31DenseRead3d _),
   )
 
+  // --- a32_varray_patch: vgrid write-path decomposition -------------------
+  // The INVERSE of a10's assemble and the reference's VArray update
+  // contract (varray_adapter.py update → per-tile sub-array writes):
+  // a patch given in GLOBAL virtual-array coordinates decomposes into one
+  // local patch per intersecting vgrid tile — local bounds are pure
+  // arithmetic (patch ∩ tile, rebased by v·T), each per-tile patch routes
+  // to its owning node via the ring (utils/requests.py: writes go to the
+  // owner), and the report carries the affected cell count + patched
+  // checksum per tile. One partial-agg'd groupBy over the pruned patch
+  // region — the scan reads only the patch bounds (pushed filters), the
+  // decomposition itself is shuffle-free arithmetic on the tile key.
+  // (Cells are the sparse observed set, so n_cells counts EXISTING cells
+  // in the intersection — the dense-fill write path is a14/a31's
+  // GridSource contract composed with this decomposition.)
+  val P0Lo = 7L; val P0Hi = 22L; val P1Lo = 3L; val P1Hi = 9L
+  val PatchVal = 2.5
+
+  def a32VarrayPatch(s: SparkSession, dir: String): DataFrame =
+    cellsStored(s, dir)
+      .filter(col("array_id") === "signup" &&
+        col("i0").between(P0Lo, P0Hi) && col("i1").between(P1Lo, P1Hi))
+      .groupBy((col("i0") / Tile0).cast("long").as("v0"),
+               (col("i1") / Tile1).cast("long").as("v1"))
+      .agg(count(lit(1)).as("n_cells"))
+      .withColumn("hash_key",
+        concat(lit("signup/"), col("v0"), lit("-"), col("v1")))
+      .withColumn("node", placeExpr(HashRing.current, "hash_key"))
+      .withColumn("l0_lo",
+        greatest(lit(P0Lo), col("v0") * Tile0) - col("v0") * Tile0)
+      .withColumn("l0_hi",
+        least(lit(P0Hi), col("v0") * Tile0 + (Tile0 - 1)) - col("v0") * Tile0)
+      .withColumn("l1_lo",
+        greatest(lit(P1Lo), col("v1") * Tile1) - col("v1") * Tile1)
+      .withColumn("l1_hi",
+        least(lit(P1Hi), col("v1") * Tile1 + (Tile1 - 1)) - col("v1") * Tile1)
+      .withColumn("patched_sum", col("n_cells").cast("double") * lit(PatchVal))
+      .select("v0", "v1", "hash_key", "node", "l0_lo", "l0_hi",
+              "l1_lo", "l1_hi", "n_cells", "patched_sum")
+      .orderBy("v0", "v1")
+
+  val a32Sql: String =
+    s"""WITH $cellsSql,
+       |ring(k, node) AS (VALUES ${HashRing.current.sqlValues}),
+       |dec AS (
+       |  SELECT CAST(i0 // $Tile0 AS BIGINT) AS v0,
+       |    CAST(i1 // $Tile1 AS BIGINT) AS v1, COUNT(*) AS n_cells
+       |  FROM cells
+       |  WHERE array_id = 'signup'
+       |    AND i0 BETWEEN $P0Lo AND $P0Hi AND i1 BETWEEN $P1Lo AND $P1Hi
+       |  GROUP BY 1, 2),
+       |keyed AS (
+       |  SELECT v0, v1, n_cells,
+       |    'signup/' || v0 || '-' || v1 AS hash_key
+       |  FROM dec)
+       |SELECT v0, v1, hash_key,
+       |  (SELECT node FROM ring WHERE k = ${duckPlace(HashRing.current, "ring")}) AS node,
+       |  GREATEST($P0Lo, v0 * $Tile0) - v0 * $Tile0 AS l0_lo,
+       |  LEAST($P0Hi, v0 * $Tile0 + ${Tile0 - 1}) - v0 * $Tile0 AS l0_hi,
+       |  GREATEST($P1Lo, v1 * $Tile1) - v1 * $Tile1 AS l1_lo,
+       |  LEAST($P1Hi, v1 * $Tile1 + ${Tile1 - 1}) - v1 * $Tile1 AS l1_hi,
+       |  n_cells, CAST(n_cells AS DOUBLE) * $PatchVal AS patched_sum
+       |FROM keyed ORDER BY v0, v1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "a32_varray_patch" -> a32Sql,
     "a13_subset_chunked" -> a13Sql,
     "a14_dense_read" -> a14Sql,
     "a15_subset_stats" -> a15Sql,

@@ -214,6 +214,37 @@ class ArraySpec extends SparkSpec {
     }
   }
 
+  test("a32 patch decomposition: tiles partition the patch region exactly") {
+    import ArrayModel.{Tile0, Tile1}
+    import ArrayOps.{P0Lo, P0Hi, P1Lo, P1Hi, PatchVal}
+    val rows = ArrayOps.a32VarrayPatch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-tile local bounds: inside the tile, non-empty, and their global
+    // image is exactly patch ∩ tile
+    rows.foreach { r =>
+      val (v0, v1) = (r.getLong(0), r.getLong(1))
+      val (l0lo, l0hi, l1lo, l1hi) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(l0lo >= 0 && l0hi < Tile0 && l0lo <= l0hi)
+      assert(l1lo >= 0 && l1hi < Tile1 && l1lo <= l1hi)
+      assert(v0 * Tile0 + l0lo == math.max(P0Lo, v0 * Tile0))
+      assert(v0 * Tile0 + l0hi == math.min(P0Hi, v0 * Tile0 + Tile0 - 1))
+      assert(v1 * Tile1 + l1lo == math.max(P1Lo, v1 * Tile1))
+      assert(v1 * Tile1 + l1hi == math.min(P1Hi, v1 * Tile1 + Tile1 - 1))
+      assert(r.getDouble(9) == r.getLong(8) * PatchVal)
+      assert(r.getString(2) == s"signup/$v0-$v1")
+      assert(HashRing.currentNodes.contains(r.getString(3)))
+    }
+    // cell-count conservation: per-tile counts sum to the direct count of
+    // existing cells inside the global patch region
+    val direct = ArrayModel.cellsStored(spark, sf)
+      .filter(col("array_id") === "signup" &&
+        col("i0").between(P0Lo, P0Hi) && col("i1").between(P1Lo, P1Hi))
+      .count()
+    assert(rows.map(_.getLong(8)).sum == direct)
+    // no tile listed twice
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   test("slice read prunes partitions and pushes dim filters at the scan") {
     // a2 reads the materialized store: array_id is a directory-level
     // PartitionFilter, the dim bounds are row-group PushedFilters
