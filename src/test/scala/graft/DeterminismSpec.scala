@@ -17,7 +17,13 @@ class DeterminismSpec extends SparkSpec {
     // composed into a rollup (d10), typed-kernel flatMap (m4), and the
     // two-phase bigram agg (t7)
     "d4_ngram_jaccard", "d10_dedup_purge", "m4_feature_extract",
-    "t7_repetition")
+    "t7_repetition",
+    // round-7 second wave: bloom bitset merge order (d12 — OR is
+    // commutative, proven not assumed), max_by argmax ties (d13),
+    // window prefix sum (t10), df count-distinct (d11), and the full
+    // funnel composition (d15)
+    "d11_span_dedup", "d12_bloom_decontaminate", "d13_cluster_mixture",
+    "t10_pack_sequences", "d15_curation_funnel")
 
   test("results are bit-identical across shuffle partition counts") {
     val key = "spark.sql.shuffle.partitions"
