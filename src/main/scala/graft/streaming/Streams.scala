@@ -389,8 +389,44 @@ object Streams {
        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin
   }
 
+  // --- st9_stream_shard_router: the streaming ingest writer's view --------
+  /** m5's deterministic shard assignment applied at the stream boundary:
+    * each arriving document is routed to its shard by the same ring-hash
+    * rule a batch backfill computes (bit-identical placement, no catalog),
+    * and the sink-side balance report — records/bytes per shard — is the
+    * single aggregation a streaming writer watches for hot shards.
+    * Documents carry no event time, so the report runs in complete mode
+    * over the corpus-so-far (st7's shape); the per-row routing itself is
+    * stateless and map-side, exactly like st8's keep decision.
+    */
+  def shardRouterTransform(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shard", pmod(graft.functions.GenKey(
+        concat(lit("m5/"), col("doc_id").cast("string"))),
+        lit(graft.pipeline.Multimodal.ShardCount.toLong)))
+      .withColumn("n_bytes", length(encode(col("text"), "UTF-8")).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_bytes")).as("total_bytes"),
+           max(col("n_bytes")).as("max_doc_bytes"))
+
+  def st9StreamShardRouter(s: SparkSession, dir: String): DataFrame =
+    shardRouterTransform(Tables.documents(s, dir))
+      .orderBy("shard")
+
+  val st9Sql: String = {
+    val h = graft.arrays.HashRing.duckGenKey("'m5/' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT ($h) % ${graft.pipeline.Multimodal.ShardCount} AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       |  CAST(MAX(strlen(text)) AS BIGINT) AS max_doc_bytes
+       |FROM documents
+       |GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st8_stream_mixture" -> (st8StreamMixture _),
+    "st9_stream_shard_router" -> (st9StreamShardRouter _),
     "st1_stream_window" -> (st1StreamWindow _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stream_session" -> (st3StreamSession _),
@@ -402,6 +438,7 @@ object Streams {
 
   val oracles: Map[String, String] = Map(
     "st8_stream_mixture" -> st8Sql,
+    "st9_stream_shard_router" -> st9Sql,
     "st1_stream_window" -> st1Sql,
     "st2_stream_dedup" -> st2Sql,
     "st3_stream_session" -> st3Sql,

@@ -193,6 +193,36 @@ class StreamingSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("st9: streaming shard router converges to batch and agrees with m5") {
+    val docsDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-shard")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents.parquet"))
+      d.toString
+    }
+    val stream = Streams.readDocumentsStream(spark, docsDir)
+    val q = Streams.shardRouterTransform(stream)
+      .writeStream.format("memory").queryName("st9_mem")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st9_mem")
+    val batch = Streams.st9StreamShardRouter(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "streaming shard report != batch shard report")
+    // the router and the batch manifest (m5) place every doc identically:
+    // per-shard doc counts must agree
+    val manifest = graft.pipeline.Multimodal.m5PairManifest(spark, sf)
+      .groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    batch.collect().foreach { r =>
+      assert(manifest(r.getLong(0)) == r.getLong(1),
+        s"shard ${r.getLong(0)}: router count != manifest count")
+    }
+  }
+
   test("st7: stream-static decontamination converges to the batch result") {
     // streaming corpus side, STATIC broadcast benchmark side — the
     // stream-static join shape (the static plan re-executes per
