@@ -424,7 +424,88 @@ object TextAnalysis {
        |    FROM documents))
        |ORDER BY source, doc_id""".stripMargin
 
+  // --- t11_bigram_surprisal: conditional-LM quality score -----------------
+  // The bigram step the unigram t9 can't take: a shuffled-word-salad doc
+  // has ordinary unigram rarity but IMPROBABLE transitions. Score each
+  // position by the log-free quantized conditional surprisal
+  // −log₂ P(w2|w1) ≈ bits(c(w1)) − bits(c(w1 w2)) (both counts exact
+  // integers; bit length = floor(log₂)+1 on both engines), and the doc
+  // by the IEEE mean of exact longs. High mean = rare transitions.
+  // Shape: bigrams build in an array lambda over PLAIN expressions (the
+  // HOF auditor's allowed form), fingerprint AFTER explode (8-byte
+  // keys); unigram and bigram count tables are vocabulary-sized
+  // (sub-linear, Heaps) and UNHINTED per the §5 broadcast doctrine; one
+  // corpus shuffle for the per-doc agg.
+  def t11BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+    val toks = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(graft.functions.GenKey(col("tok")).as("h"))
+    val ucnt = toks.groupBy("h").agg(count(lit(1)).as("un"))
+      .withColumn("ubits", length(bin(col("un"))).cast("long"))
+      .select("h", "ubits")
+    val bg = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks)-2),
+          |  i -> struct(toks[i] AS w1, concat_ws(' ', toks[i], toks[i+1]) AS bg))
+          |""".stripMargin)).as("p"))
+      .select(col("doc_id"),
+        graft.functions.GenKey(col("p.w1")).as("h"),
+        graft.functions.GenKey(col("p.bg")).as("hb"))
+    val bcnt = bg.groupBy("hb").agg(count(lit(1)).as("bn"))
+      .withColumn("bbits", length(bin(col("bn"))).cast("long"))
+      .select("hb", "bbits")
+    val per = bg.join(ucnt, "h").join(bcnt, "hb")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("ubits") - col("bbits")).as("surprisal_sum"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("surprisal_sum", coalesce(col("surprisal_sum"), lit(0L)))
+      .withColumn("surprisal_mean",
+        when(col("n_bigrams") > 0,
+          col("surprisal_sum").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_bigrams", "surprisal_sum", "surprisal_mean")
+      .orderBy("doc_id")
+  }
+
+  val t11Sql: String = {
+    val hTok = graft.arrays.HashRing.duckGenKey("tok")
+    val hW1 = graft.arrays.HashRing.duckGenKey("w1")
+    val hBg = graft.arrays.HashRing.duckGenKey("bg")
+    s"""WITH toks AS (
+       |  SELECT $hTok AS h FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |ucnt AS (
+       |  SELECT h, length(bin(COUNT(*))) AS ubits FROM toks GROUP BY h),
+       |bgrows AS (
+       |  SELECT doc_id, $hW1 AS h, $hBg AS hb FROM (
+       |    SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS bg FROM (
+       |      SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |            WHERE len(string_split(text, ' ')) >= 2)))),
+       |bcnt AS (
+       |  SELECT hb, length(bin(COUNT(*))) AS bbits FROM bgrows GROUP BY hb),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(ubits - bbits) AS BIGINT) AS surprisal_sum
+       |  FROM bgrows JOIN ucnt USING (h) JOIN bcnt USING (hb)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(surprisal_sum, 0) AS surprisal_sum,
+       |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+       |       THEN CAST(surprisal_sum AS DOUBLE) / n_bigrams
+       |       ELSE 0.0 END AS surprisal_mean
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_bigram_surprisal" -> (t11BigramSurprisal _),
     "t9_rarity_score" -> (t9RarityScore _),
     "t10_pack_sequences" -> (t10PackSequences _),
     "t5_top_terms" -> (t5TopTerms _),
@@ -440,6 +521,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t9_rarity_score" -> t9Sql,
     "t10_pack_sequences" -> t10Sql,
+    "t11_bigram_surprisal" -> t11Sql,
     "t5_top_terms" -> t5Sql,
     "t1_langid" -> t1Sql,
     "t2_quality_score" -> t2Sql,

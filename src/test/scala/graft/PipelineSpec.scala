@@ -590,6 +590,32 @@ class PipelineSpec extends SparkSpec {
       "n_clean must equal quality minus contaminated")
   }
 
+  test("t11 bigram surprisal matches a JVM-side conditional-LM recompute") {
+    // independent ground truth by raw string (the op counts by u32
+    // fingerprint; divergence = a fingerprint collision, worth failing on)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val ucnt = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bcnt = docs.values.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bits(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val got = pipeline.TextAnalysis.t11BigramSurprisal(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (id, n, sum, mean) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val pairs = docs(id).zip(docs(id).drop(1))
+      val expSum = pairs.map { case (w1, w2) =>
+        bits(ucnt(w1)) - bits(bcnt((w1, w2)))
+      }.sum
+      assert(n == pairs.length, s"doc $id bigram count")
+      assert(sum == expSum, s"doc $id surprisal_sum: got $sum, expected $expSum")
+      assert(mean == (if (pairs.isEmpty) 0.0 else expSum.toDouble / pairs.length))
+      // conditional surprisal is non-negative: c(w1 w2) <= c(w1)
+      assert(sum >= 0)
+    }
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString
