@@ -604,7 +604,69 @@ object Relational {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Registry consumed by SparkEntry. */
+  // --- q24_conversion_funnel: ordered-stage event funnel ------------------
+  // The staple event-analytics query the core still lacked: how many
+  // users progressed view → click → purchase IN ORDER (each stage's
+  // event strictly after the previous stage's first occurrence).
+  // Expressed as three shrinking aggregations — first view per user,
+  // first click after that view, first purchase after that click — each
+  // one partial-agg'd groupBy over a pushed-down event_type filter, each
+  // stage's output a fraction of the previous (the joins are
+  // small-side-shrinking, planner-chosen). One summary row: stage
+  // populations + conversion rates. At 100 TB this beats the
+  // sessionize-then-scan form: no per-user event list is ever
+  // materialized, and each stage scans only its event type's pruned
+  // rows.
+  def q24ConversionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def firstAfter(tpe: String, prev: DataFrame, prevTs: String, outTs: String) =
+      e.filter(col("event_type") === tpe)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    val clicked = firstAfter("click", viewed, "tv", "tc")
+    val purchased = firstAfter("purchase", clicked, "tc", "tp")
+    val users = e.select("user_id").distinct()
+    users.agg(count(lit(1)).as("n_users"))
+      .join(viewed.agg(count(lit(1)).as("n_viewed")))
+      .join(clicked.agg(count(lit(1)).as("n_clicked_after")))
+      .join(purchased.agg(count(lit(1)).as("n_purchased_after")))
+      .withColumn("view_rate",
+        col("n_viewed").cast("double") / col("n_users").cast("double"))
+      .withColumn("funnel_rate",
+        col("n_purchased_after").cast("double") / col("n_users").cast("double"))
+      .select("n_users", "n_viewed", "n_clicked_after", "n_purchased_after",
+              "view_rate", "funnel_rate")
+  }
+
+  val q24Sql: String =
+    """WITH viewed AS (
+      |  SELECT user_id, MIN(ts) AS tv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |clicked AS (
+      |  SELECT e.user_id, MIN(e.ts) AS tc FROM events e
+      |  JOIN viewed v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.tv
+      |  GROUP BY e.user_id),
+      |purchased AS (
+      |  SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+      |  JOIN clicked c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+      |  (SELECT COUNT(*) FROM viewed) AS n_viewed,
+      |  (SELECT COUNT(*) FROM clicked) AS n_clicked_after,
+      |  (SELECT COUNT(*) FROM purchased) AS n_purchased_after,
+      |  CAST((SELECT COUNT(*) FROM viewed) AS DOUBLE) /
+      |    (SELECT COUNT(DISTINCT user_id) FROM events) AS view_rate,
+      |  CAST((SELECT COUNT(*) FROM purchased) AS DOUBLE) /
+      |    (SELECT COUNT(DISTINCT user_id) FROM events) AS funnel_rate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_conversion_funnel" -> (q24ConversionFunnel _),
     "q1_agg" -> (q1Agg _),
     "q2_join_filter" -> (q2JoinFilter _),
     "q3_topk" -> (q3Topk _),
@@ -631,6 +693,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_conversion_funnel" -> q24Sql,
     "q1_agg" -> q1Sql,
     "q2_join_filter" -> q2Sql,
     "q3_topk" -> q3Sql,

@@ -95,6 +95,36 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Expand"), "grouping sets should compile to Expand")
   }
 
+  test("q24 funnel: stage counts match a JVM-side ordered replay") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = events.groupBy(_._1)
+    def firstTs(evs: Array[(Long, String, Long)], tpe: String, after: Long): Option[Long] = {
+      val c = evs.filter(e => e._2 == tpe && e._3 > after).map(_._3)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    var (nViewed, nClicked, nPurchased) = (0L, 0L, 0L)
+    byUser.foreach { case (_, evs) =>
+      firstTs(evs, "view", Long.MinValue).foreach { tv =>
+        nViewed += 1
+        firstTs(evs, "click", tv).foreach { tc =>
+          nClicked += 1
+          if (firstTs(evs, "purchase", tc).isDefined) nPurchased += 1
+        }
+      }
+    }
+    val r = Relational.q24ConversionFunnel(spark, sf).collect().head
+    assert(r.getLong(0) == byUser.size)
+    assert(r.getLong(1) == nViewed, "n_viewed")
+    assert(r.getLong(2) == nClicked, "n_clicked_after")
+    assert(r.getLong(3) == nPurchased, "n_purchased_after")
+    // the funnel shrinks monotonically
+    assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3))
+    assert(r.getDouble(5) == nPurchased.toDouble / byUser.size)
+  }
+
   test("q22 range window: trailing frame contains the row itself and only <=6-day-older peers") {
     val rows = Relational.q22RangeWindow(spark, sf).collect()
     rows.foreach(r => assert(r.getLong(3) >= 1))
