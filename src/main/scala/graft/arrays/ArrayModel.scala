@@ -54,13 +54,20 @@ object ArrayModel {
     * itself remains the derivation (exercised directly by a1).
     */
   def cellsStored(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val path = ArrayModel.storedPaths.getOrElseUpdate(dir, {
+    // storeLock, not bare getOrElseUpdate: TrieMap's default
+    // getOrElseUpdate is get-then-update, so two concurrent first
+    // callers would BOTH run the one-time ETL and overwrite-write the
+    // same path mid-read. Serializing the first materialization is the
+    // point; steady-state callers hit the filled map.
+    val path = ArrayModel.storeLock.synchronized {
+      ArrayModel.storedPaths.getOrElseUpdate(dir, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-cells-" +
         s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"
       graft.sources.ArrayStore.materialize(cells(s, dir), p)
       graft.TmpCleanup.register(p)
       p
     })
+    }
     // explicit schema: an all-empty source writes no partition directories,
     // and schema inference on an empty store would fail
     s.read.schema(storedSchema).parquet(path)
@@ -68,6 +75,7 @@ object ArrayModel {
   }
 
   private val storedPaths = scala.collection.concurrent.TrieMap[String, String]()
+  private val storeLock = new Object
 
   private val storedSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -90,6 +98,9 @@ object ArrayModel {
     */
   def cellsBucketed(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_cells_b_${Integer.toHexString(dir.hashCode)}"
+    // same check-then-act race as cellsStored: serialize the one-time
+    // bucketed materialization
+    ArrayModel.storeLock.synchronized {
     if (!s.catalog.tableExists(t)) {
       // external table at a per-JVM tmp path: a managed table's warehouse
       // directory outlives the in-memory catalog (a previous run's
@@ -102,6 +113,7 @@ object ArrayModel {
         .partitionBy("coll", "array_id")
         .bucketBy(8, "i0", "i1").sortBy("i0", "i1")
         .saveAsTable(t)
+    }
     }
     s.table(t)
   }

@@ -634,15 +634,21 @@ object Dedup {
     * table is a first-class pipeline artifact, not a per-query subplan.
     */
   private val labelPaths = scala.collection.concurrent.TrieMap[String, String]()
+  private val labelLock = new Object
 
   def labelsStored(s: SparkSession, dir: String): DataFrame = {
-    val path = labelPaths.getOrElseUpdate(dir, {
+    // labelLock: TrieMap.getOrElseUpdate is not atomic (get-then-update)
+    // — two concurrent first callers would both run the CC loop and
+    // overwrite the same store (see ArrayModel.storeLock)
+    val path = labelLock.synchronized {
+      labelPaths.getOrElseUpdate(dir, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-labels-" +
         s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"
       ccLabels(s, dir).write.mode("overwrite").parquet(p)
       graft.TmpCleanup.register(p)
       p
     })
+    }
     // explicit schema: an empty corpus writes a schema-less empty store
     s.read.schema("doc BIGINT, lbl BIGINT").parquet(path)
   }
@@ -1079,9 +1085,16 @@ object Dedup {
   val TrainBp = 8000L // [0, 8000) train
   val ValBp = 9000L   // [8000, 9000) val; [9000, 10000) test
 
-  def d14TrainValSplit(s: SparkSession, dir: String): DataFrame = {
-    val h = pmod(graft.functions.GenKey(
+  /** THE split-hash formula — single definition on purpose: d14's split
+    * and d15's funnel `train` stage promise identical membership, which
+    * must hold by construction, not by parallel edits.
+    */
+  def splitHash: Column =
+    pmod(graft.functions.GenKey(
       concat(lit("split/"), col("doc_id").cast("string"))), lit(10000L))
+
+  def d14TrainValSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = splitHash
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
     Tables.documents(s, dir)
       .withColumn("split",
@@ -1135,8 +1148,7 @@ object Dedup {
       .select("chash", "keep_id")
     val sampledH = pmod(graft.functions.GenKey(
       concat(col("source"), lit("/"), col("doc_id").cast("string"))), lit(10000L))
-    val splitH = pmod(graft.functions.GenKey(
-      concat(lit("split/"), col("doc_id").cast("string"))), lit(10000L))
+    val splitH = splitHash
     // contam and keepers carry no broadcast hints: both are sub-linear
     // in the usual case (AQE broadcasts them here), but contamination
     // against a huge benchmark and >1-copy groups under heavy
@@ -1183,25 +1195,29 @@ object Dedup {
        |    SELECT md5(text) AS chash, COUNT(*) AS n, MIN(doc_id) AS keep_id
        |    FROM documents GROUP BY 1) WHERE n > 1),
        |flags AS (
-       |  SELECT d.source, q.keep,
-       |    q.keep AND c.doc_id IS NULL AS clean,
-       |    q.keep AND c.doc_id IS NULL
-       |      AND (k.keep_id IS NULL OR k.keep_id = d.doc_id) AS uniq,
-       |    q.keep AND c.doc_id IS NULL
-       |      AND (k.keep_id IS NULL OR k.keep_id = d.doc_id)
-       |      AND ($sampledH) % 10000 <
+       |  -- lateral column aliases: each stage references the previous
+       |  -- alias, so the funnel predicate chain is written exactly once
+       |  -- (a quota edit cannot desynchronize n_sampled from n_train).
+       |  -- The side-effecting validated extraction (error() on malformed
+       |  -- source names) lives in the inner projection — DuckDB refuses
+       |  -- lateral references over side-effecting expressions.
+       |  SELECT source, keep,
+       |    keep AND no_contam AS clean,
+       |    clean AND keeper_ok AS uniq,
+       |    uniq AND samp_ok AS sampled,
+       |    sampled AND split_ok AS train
+       |  FROM (
+       |    SELECT d.source, q.keep,
+       |      c.doc_id IS NULL AS no_contam,
+       |      (k.keep_id IS NULL OR k.keep_id = d.doc_id) AS keeper_ok,
+       |      ($sampledH) % 10000 <
        |        CASE WHEN ($srcNumSql) < 5 THEN 10000
-       |             WHEN ($srcNumSql) < 10 THEN 5000 ELSE 2500 END AS sampled,
-       |    q.keep AND c.doc_id IS NULL
-       |      AND (k.keep_id IS NULL OR k.keep_id = d.doc_id)
-       |      AND ($sampledH) % 10000 <
-       |        CASE WHEN ($srcNumSql) < 5 THEN 10000
-       |             WHEN ($srcNumSql) < 10 THEN 5000 ELSE 2500 END
-       |      AND ($splitH) % 10000 < $TrainBp AS train
-       |  FROM documents d
-       |  JOIN q ON d.doc_id = q.doc_id
-       |  LEFT JOIN contam c ON d.doc_id = c.doc_id
-       |  LEFT JOIN keepers k ON md5(d.text) = k.chash)
+       |             WHEN ($srcNumSql) < 10 THEN 5000 ELSE 2500 END AS samp_ok,
+       |      ($splitH) % 10000 < $TrainBp AS split_ok
+       |    FROM documents d
+       |    JOIN q ON d.doc_id = q.doc_id
+       |    LEFT JOIN contam c ON d.doc_id = c.doc_id
+       |    LEFT JOIN keepers k ON md5(d.text) = k.chash))
        |SELECT source, COUNT(*) AS n_raw,
        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        |  CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,

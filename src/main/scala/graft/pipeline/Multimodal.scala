@@ -253,6 +253,14 @@ object Multimodal {
   // (text-only) training record, flagged not dropped.
   val ShardCount = 32
 
+  /** THE shard-assignment formula — single definition on purpose: the
+    * m5 manifest and st9's streaming router promise bit-identical
+    * placement, which must hold by construction, not by parallel edits.
+    */
+  def shardOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(graft.functions.GenKey(
+      concat(lit("m5/"), docId.cast("string"))), lit(ShardCount.toLong))
+
   def m5PairManifest(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
@@ -265,8 +273,7 @@ object Multimodal {
       .withColumn("emb_dims", coalesce(col("emb_dims"), lit(0L)))
       .withColumn("record_bytes",
         col("n_bytes") + lit(4L) * col("emb_dims") + lit(16L))
-      .withColumn("shard", pmod(graft.functions.GenKey(
-        concat(lit("m5/"), col("doc_id").cast("string"))), lit(ShardCount.toLong)))
+      .withColumn("shard", shardOf(col("doc_id")))
       .select("doc_id", "source", "n_bytes", "emb_dims", "has_emb",
               "record_bytes", "shard")
       .orderBy("doc_id")

@@ -401,9 +401,7 @@ object Streams {
     */
   def shardRouterTransform(docs: DataFrame): DataFrame =
     docs
-      .withColumn("shard", pmod(graft.functions.GenKey(
-        concat(lit("m5/"), col("doc_id").cast("string"))),
-        lit(graft.pipeline.Multimodal.ShardCount.toLong)))
+      .withColumn("shard", graft.pipeline.Multimodal.shardOf(col("doc_id")))
       .withColumn("n_bytes", length(encode(col("text"), "UTF-8")).cast("long"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),

@@ -347,7 +347,7 @@ class PipelineSpec extends SparkSpec {
     // this vocabulary and worth failing loudly on.)
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
     val counts = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     def bits(n: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(n)
     val maxBits = counts.values.map(bits).max
@@ -595,7 +595,7 @@ class PipelineSpec extends SparkSpec {
     // fingerprint; divergence = a fingerprint collision, worth failing on)
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
     val ucnt = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val bcnt = docs.values.flatMap(t => t.zip(t.drop(1)))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
