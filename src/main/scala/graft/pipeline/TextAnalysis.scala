@@ -127,14 +127,17 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- t4_fingerprint: rolling polynomial hash of the char stream ---------
-  // fold-left (acc*31 + ascii(c)) mod 1e9+7 — sequential fold, identical
-  // on both engines; a codegen'd higher-order function, no UDF.
+  // fold-left (acc*31 + codepoint) mod 1e9+7 — sequential fold, identical
+  // on both engines. The fold is the native RollingFingerprint
+  // expression: the earlier aggregate(sequence(1, length(text)), ...)
+  // HOF evaluated an interpreted lambda once per CHARACTER per row and
+  // materialized a length(text)-integer scratch array per row — one
+  // codegen'd call site now, same semantics (Spark's length/substring
+  // and DuckDB's text[i] both count code points).
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        expr("""aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),
-               |  (acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)
-               |""".stripMargin).as("fingerprint"))
+        graft.functions.RollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
   val t4Sql: String =

@@ -260,6 +260,18 @@ class PipelineSpec extends SparkSpec {
       val expect = r.getString(1).foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
       assert(got(r.getLong(0)) == expect)
     }
+    // the native kernel's non-ASCII fallback folds over CODE POINTS
+    // (same units as Spark length/substring and DuckDB text[i])
+    val uni = "héllo wörld 世界 😀"
+    val expectUni = uni.codePoints().toArray
+      .foldLeft(0L)((acc, cp) => (acc * 31 + cp) % 1000000007L)
+    assert(graft.functions.RollingHashImpl.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString(uni)) == expectUni)
+    // and the ASCII fast path agrees with the general walk
+    val asc = "plain ascii 123"
+    assert(graft.functions.RollingHashImpl.fingerprint(
+      org.apache.spark.unsafe.types.UTF8String.fromString(asc)) ==
+      asc.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L))
   }
 
   test("m1 multimodal mapPartitions plumbing emits one row per doc") {
