@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args(0), args(1))
     }
     e.injectFunction((
+      new FunctionIdentifier("graft_rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName,
+        "graft_rolling_fingerprint"),
+      (args: Seq[Expression]) =>
+        RollingFingerprint(unary("graft_rolling_fingerprint")(args))))
+    e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => {

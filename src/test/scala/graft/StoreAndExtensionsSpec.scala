@@ -90,11 +90,14 @@ class StoreAndExtensionsSpec extends SparkSpec {
     val reps = rows.head.getSeq[String](2)
     assert(reps.head == HashRing.current.getNode("click/0-0") &&
            reps.toSet == HashRing.currentNodes.toSet)
-    // second registration batch: vector dot + bloom probe
+    // second registration batch: vector dot + bloom probe + fingerprint
     val dot = sess.sql(
       "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
       .collect().head.getDouble(0)
     assert(dot == 32.0)
+    val fp = sess.sql("SELECT graft_rolling_fingerprint('abc') AS f")
+      .collect().head.getLong(0)
+    assert(fp == "abc".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L))
     // bloom probe over an explicitly built bitset: all-zero bits reject,
     // set bits accept (build the 8 KB value in plain Scala — the SQL
     // surface is the PROBE, the aggregate stays a DataFrame-side tool)
