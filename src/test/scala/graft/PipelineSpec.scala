@@ -628,6 +628,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("labelsStored: concurrent first callers race safely to one store") {
+    // the round-7 lock fix: TrieMap.getOrElseUpdate is get-then-update,
+    // so before the lock two concurrent first callers BOTH ran the CC
+    // loop and overwrote the same path mid-read. Race two threads on a
+    // fresh dir (fresh cache key) and require consistent, equal results.
+    val d = java.nio.file.Files.createTempDirectory("graft-race").toString
+    Tables.documents(spark, sf).write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 2).map(_ => Future {
+      Dedup.d10DedupPurge(spark, d).collect().map(_.toString).sorted.toSeq
+    })
+    val results = fs.map(Await.result(_, 5.minutes))
+    assert(results(0).nonEmpty && results(0) == results(1),
+      "concurrent first callers must observe one consistent label store")
+  }
+
   test("pipeline text ops are shuffle-free map plans") {
     val plan = TextAnalysis.t3TokenCount(spark, sf)
       .queryExecution.executedPlan.toString
