@@ -17,8 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the sequence() array materializes length(text) integers per row. This
   * is one codegen'd static call over the string — no per-element
   * machinery, no scratch array — with identical semantics: Spark's
-  * length()/substring() count code points and DuckDB's text[i] indexes
-  * code points, so the fold visits the same units on every engine.
+  * length()/substring() count code points, Spark 4's ascii() returns the
+  * CODE POINT of a multibyte first char (verified empirically:
+  * ascii('é') = 233, not the signed first UTF-8 byte), and DuckDB's
+  * text[i]/ascii() are code-point-based too, so the fold visits the same
+  * units with the same values on every engine, ASCII or not.
   */
 object RollingHashImpl {
   val Mod = 1000000007L
@@ -56,6 +59,18 @@ object RollingHashImpl {
 case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_fingerprint"
+
+  /** SQL-exposed (GraftExtensions), so the analyzer must reject non-string
+    * inputs at plan time — without this a BIGINT argument passes analysis
+    * and dies executor-side in codegen/eval (the DotProduct doctrine).
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_rolling_fingerprint needs STRING, got ${child.dataType.sql}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     RollingHashImpl.fingerprint(input.asInstanceOf[UTF8String])

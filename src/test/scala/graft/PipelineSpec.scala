@@ -636,15 +636,24 @@ class PipelineSpec extends SparkSpec {
     val d = java.nio.file.Files.createTempDirectory("graft-race").toString
     Tables.documents(spark, sf).write.mode("overwrite")
       .parquet(s"$d/documents.parquet")
+    // a DEDICATED 2-thread pool (the global EC can be 1-wide on a small
+    // runner, serializing the "racers") + a start latch so both threads
+    // reach the first labelsStored call together
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val gate = new java.util.concurrent.CountDownLatch(2)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fs = (1 to 2).map(_ => Future {
-      Dedup.d10DedupPurge(spark, d).collect().map(_.toString).sorted.toSeq
-    })
-    val results = fs.map(Await.result(_, 5.minutes))
-    assert(results(0).nonEmpty && results(0) == results(1),
-      "concurrent first callers must observe one consistent label store")
+    try {
+      val fs = (1 to 2).map(_ => Future {
+        gate.countDown(); gate.await()
+        Dedup.d10DedupPurge(spark, d).collect().map(_.toString).sorted.toSeq
+      })
+      val results = fs.map(Await.result(_, 5.minutes))
+      assert(results(0).nonEmpty && results(0) == results(1),
+        "concurrent first callers must observe one consistent label store")
+    } finally pool.shutdown()
   }
 
   test("pipeline text ops are shuffle-free map plans") {
