@@ -279,6 +279,17 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       badType.withColumn("dot", DotProduct(col("a"), col("b"))).collect()
     }
+    // same doctrine for the other SQL-exposed natives: a non-string
+    // fingerprint input and a non-(binary, long) bloom probe fail at
+    // analysis, not executor-side in codegen
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).withColumn("f",
+        graft.functions.RollingFingerprint(col("id"))).collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).withColumn("p",
+        graft.functions.BloomMightContain(col("id"), col("id"))).collect()
+    }
   }
 
   test("GridSource validation: zero/negative steps and bad tile extents rejected at resolution") {
