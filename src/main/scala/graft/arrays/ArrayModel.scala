@@ -54,12 +54,14 @@ object ArrayModel {
     * itself remains the derivation (exercised directly by a1).
     */
   def cellsStored(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    // storeLock, not bare getOrElseUpdate: TrieMap's default
+    // per-key lock, not bare getOrElseUpdate: TrieMap's default
     // getOrElseUpdate is get-then-update, so two concurrent first
     // callers would BOTH run the one-time ETL and overwrite-write the
-    // same path mid-read. Serializing the first materialization is the
-    // point; steady-state callers hit the filled map.
-    val path = ArrayModel.storeLock.synchronized {
+    // same path mid-read. Collapsing duplicate first callers of the SAME
+    // dir is the point; a different dir (or the bucketed cache) holds a
+    // different monitor, so unrelated multi-job materializations no
+    // longer serialize behind each other.
+    val path = ArrayModel.lockFor(s"stored:$dir").synchronized {
       ArrayModel.storedPaths.getOrElseUpdate(dir, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-cells-" +
         s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"
@@ -75,7 +77,16 @@ object ArrayModel {
   }
 
   private val storedPaths = scala.collection.concurrent.TrieMap[String, String]()
-  private val storeLock = new Object
+
+  /** One monitor per materialization key, minted via putIfAbsent (atomic
+    * on TrieMap, unlike getOrElseUpdate) so every racer resolves the same
+    * Object for a given key.
+    */
+  private val keyLocks = scala.collection.concurrent.TrieMap[String, Object]()
+  private def lockFor(key: String): Object = {
+    val fresh = new Object
+    keyLocks.putIfAbsent(key, fresh).getOrElse(fresh)
+  }
 
   private val storedSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -98,9 +109,10 @@ object ArrayModel {
     */
   def cellsBucketed(s: SparkSession, dir: String): DataFrame = {
     val t = s"graft_cells_b_${Integer.toHexString(dir.hashCode)}"
-    // same check-then-act race as cellsStored: serialize the one-time
-    // bucketed materialization
-    ArrayModel.storeLock.synchronized {
+    // same check-then-act race as cellsStored: collapse duplicate first
+    // callers of this table under its own monitor (the catalog existence
+    // check re-runs under the lock, so a second racer sees the table)
+    ArrayModel.lockFor(s"bucketed:$t").synchronized {
     if (!s.catalog.tableExists(t)) {
       // external table at a per-JVM tmp path: a managed table's warehouse
       // directory outlives the in-memory catalog (a previous run's

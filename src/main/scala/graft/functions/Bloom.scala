@@ -100,6 +100,20 @@ case class BloomBuildAgg(child: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bloom_build"
 
+  /** Analysis-time rejection, mirroring [[BloomMightContain]]: without it
+    * a non-LongType child passes analysis and dies executor-side with a
+    * ClassCastException in update's asInstanceOf — the aggregate is a
+    * public Column-level API even though it is not SQL-registered.
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_build needs a BIGINT fingerprint column, " +
+        s"got ${child.dataType.sql}")
+  }
+
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](BloomImpl.NumWords)
 

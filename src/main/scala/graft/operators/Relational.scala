@@ -47,13 +47,18 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  // --- q2_join_filter: dim-fact join, broadcast the dims ------------------
+  // --- q2_join_filter: dim-fact join, broadcast the BOUNDED dims ----------
+  // customer is NOT hinted: it grows linearly with SF (150k rows per SF
+  // unit), so a pinned broadcast is the unrecoverable OOM at 100 TB (§5
+  // doctrine). AQE still picks a broadcast join at bench scale from the
+  // measured size; nation/region (25/5 rows, bounded by construction)
+  // keep the hint.
   def q2JoinFilter(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("n_name")
@@ -116,8 +121,11 @@ object Relational {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir)
+    // customer unhinted (SF-scaling side — §5 doctrine); AQE broadcasts it
+    // at runtime while it fits, falls back to shuffle when it doesn't.
+    // nation/region stay pinned: bounded by construction.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -435,8 +443,12 @@ object Relational {
     val l = Tables.lineitem(s, dir)
     val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
     val sup = Tables.supplier(s, dir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+    // part/supplier unhinted: both scale linearly with SF, so the pinned
+    // broadcast violated the §5 bounded-by-construction rule (part's PROMO
+    // filter thins it ~5x but does not bound it). AQE converts both joins
+    // to broadcast at bench scale from measured post-filter sizes.
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .groupBy("p_brand", "s_name")
       .agg(count(lit(1)).as("n_items"),
            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))

@@ -178,6 +178,66 @@ class PlanAuditSpec extends SparkSpec {
       s"d10's label join should broadcast:\n${d10.take(800)}")
   }
 
+  test("no pinned broadcast hint on an unbounded SF-scaling side") {
+    // §5 doctrine: a pinned broadcast() hint is only legitimate on a side
+    // BOUNDED BY CONSTRUCTION — at 100 TB an unbounded pinned side is an
+    // unrecoverable executor OOM (AQE cannot un-pin a user hint), where an
+    // unhinted join degrades gracefully to shuffle. Round 7 shipped three
+    // violations (q2/q5/q18 pinning customer/part/supplier, which grow
+    // linearly with SF); this rule keeps them from coming back. A hinted
+    // subtree over a scaling table passes only if the plan itself proves
+    // the bound: an Aggregate (distinct/codebook/1-row reduction), a
+    // Limit, or a constant upper bound on a key (*_id) column — the
+    // fixed-prefix query-sample shape. Attribute filters (p_type='PROMO')
+    // thin a table without bounding it and do NOT qualify.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scaling = Set("customer", "orders", "lineitem", "part", "supplier",
+      "events", "documents", "embeddings")
+    def scalingLeaves(p: LogicalPlan): Seq[String] = p.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths
+          .map(_.getName.stripSuffix(".parquet")).filter(scaling)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    def bounded(p: LogicalPlan): Boolean = p.exists {
+      // Deduplicate is distinct()'s ANALYZED form (the optimizer rewrites
+      // it to Aggregate later); the foldable right side covers the
+      // analyzer's implicit Cast around an integer literal bound
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: Deduplicate => true
+      case f: Filter => f.condition.exists {
+        case LessThan(a: AttributeReference, r) => a.name.endsWith("_id") && r.foldable
+        case LessThanOrEqual(a: AttributeReference, r) => a.name.endsWith("_id") && r.foldable
+        case _ => false
+      }
+      case _ => false
+    }
+    // negative control: the auditor must flag the round-7 q18 shape
+    val part = Tables.part(spark, sf).filter(
+      org.apache.spark.sql.functions.col("p_type") === "PROMO")
+    val l = Tables.lineitem(spark, sf)
+    val bad = l.join(org.apache.spark.sql.functions.broadcast(part),
+      l("l_partkey") === part("p_partkey"))
+    def offenses(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+          val leaves = scalingLeaves(h.child)
+          if (leaves.nonEmpty && !bounded(h.child)) leaves else Nil
+      }.flatten
+    assert(offenses(bad).nonEmpty,
+      "auditor failed to flag a pinned hint on an unbounded scaling side")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => iterative(n) }
+      .flatMap { case (name, fn) =>
+        val off = offenses(fn(spark, sf))
+        if (off.nonEmpty) Some(s"$name(${off.mkString("+")})") else None
+      }
+    assert(offenders.isEmpty,
+      s"pinned broadcast hints on unbounded SF-scaling sides in: ${offenders.mkString(", ")}")
+  }
+
   test("d12: bloom probe is a codegen'd map-side filter, bitset built by partial agg") {
     val plan = SparkEntry.queries("d12_bloom_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -290,6 +290,13 @@ class StoreAndExtensionsSpec extends SparkSpec {
       spark.range(1).withColumn("p",
         graft.functions.BloomMightContain(col("id"), col("id"))).collect()
     }
+    // and the bloom BUILD aggregate: a non-long fingerprint child would
+    // otherwise pass analysis and ClassCastException executor-side in
+    // update()'s asInstanceOf
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(col("id").cast("string").as("s"))
+        .agg(graft.functions.BloomBuildAgg(col("s"))).collect()
+    }
   }
 
   test("GridSource validation: zero/negative steps and bad tile extents rejected at resolution") {
