@@ -82,6 +82,30 @@ object ArrayOps {
                        maxCells: Long = Long.MaxValue): DataFrame =
     chunkedSliceRead(c, arrayId, Dim(b0._1, b0._2), Dim(b1._1, b1._2), maxCells)
 
+  /** The SERVER side of the flow-control contract [[chunkedSliceRead]]
+    * recovers from: a single read whose selected-point count (the
+    * bounding-box lattice the reference sizes a response by, not the
+    * populated-cell count — the server rejects BEFORE materializing
+    * anything) exceeds the per-request quota raises the typed
+    * points-limit error (errors.py:77, httpx_client.py:59). Distinct
+    * from the 429 request rate (a18/st6) and the memory-flavored 413
+    * (GraftSubsetTooLargeError).
+    */
+  def sliceReadLimited(c: DataFrame, arrayId: String, d0: Dim, d1: Dim,
+                       pointsQuota: Long): DataFrame = {
+    graft.Errors.requireBounds((d0.lo, d0.hi), (d1.lo, d1.hi))
+    graft.Errors.requireStep(d0.step); graft.Errors.requireStep(d1.step)
+    val rows0 = (d0.hi - d0.lo + d0.step - 1) / d0.step
+    val rows1 = (d1.hi - d1.lo + d1.step - 1) / d1.step
+    // overflow-free "rows0 * rows1 > quota" check (the product of two
+    // valid spans can exceed Long.MaxValue), saturating for the message
+    if (rows1 > 0 && rows0 > pointsQuota / rows1)
+      graft.Errors.requirePoints(
+        if (rows0 > Long.MaxValue / rows1) Long.MaxValue else rows0 * rows1,
+        pointsQuota)
+    sliceRead(c, arrayId, d0, d1)
+  }
+
   def a2SubsetRead(s: SparkSession, dir: String): DataFrame =
     sliceRead(cellsStored(s, dir), "click", (5L, 15L), (2L, 10L))
       .select("array_id", "i0", "i1", "value")
@@ -148,10 +172,23 @@ object ArrayOps {
        |FROM cleared GROUP BY array_id""".stripMargin
 
   // --- a5_meta_read: read_meta by id (base.py:166-185) --------------------
-  def a5MetaRead(s: SparkSession, dir: String): DataFrame =
-    catalog(s, dir).filter(col("array_id") === "click")
+  /** Mode-aware meta lookup (base.py:166 read_meta routing; errors.py:89
+    * FilteringByIdInClusterIsForbidden): graft collections carry primary
+    * attributes (the vgrid hash key a7 addresses), so in cluster mode an
+    * id-addressed lookup cannot be ring-routed and is rejected with the
+    * typed error BEFORE any job launches; single-node mode serves it.
+    */
+  def metaLookup(s: SparkSession, dir: String, byId: Option[String],
+                 clusterMode: Boolean): DataFrame = {
+    if (byId.isDefined)
+      graft.Errors.requireIdFilterAllowed(clusterMode, hasPrimaryAttrs = true)
+    byId.foldLeft(catalog(s, dir))((c, id) => c.filter(col("array_id") === id))
       .select("coll", "array_id", "dtype", "dim0_size", "dim1_size",
               "n_cells", "value_sum", "attr_source", "attr_unit")
+  }
+
+  def a5MetaRead(s: SparkSession, dir: String): DataFrame =
+    metaLookup(s, dir, byId = Some("click"), clusterMode = false)
 
   val a5Sql: String =
     s"""WITH $cellsSql, $catalogSql
@@ -967,7 +1004,42 @@ object ArrayOps {
        |  USING (i0, i1, i2)
        |ORDER BY g.i0, g.i1, g.i2""".stripMargin
 
+  // --- a33_points_quota: per-request data-points budget planning ----------
+  // The reference's third flow-control flavor (errors.py:77
+  // DekerDataPointsLimitError; the runtime guard is sliceReadLimited +
+  // Errors.requirePoints): a full-array read request is sized by its
+  // bounding-box lattice (dim0·dim1 points, NOT populated cells — the
+  // server rejects on the request's shape before materializing anything).
+  // This operator is the client's planning step over the unified catalog:
+  // which arrays fit one request, and how many quota-sized chunks the
+  // chunked-read path needs for the rest. Catalog-scale work — one
+  // partial-aggregated pass, no cell data movement.
+  val PointsQuota = 256L
+
+  def a33PointsQuota(s: SparkSession, dir: String): DataFrame =
+    allCells(s, dir)
+      .groupBy("coll", "array_id")
+      .agg((max(col("i0")) + 1).as("dim0_size"),
+           lit(Dim1Size.toLong).as("dim1_size"))
+      .withColumn("points", col("dim0_size") * col("dim1_size"))
+      .withColumn("quota", lit(PointsQuota))
+      .withColumn("allowed", col("points") <= PointsQuota)
+      .withColumn("n_chunks", expr(s"(points + ${PointsQuota - 1}) div $PointsQuota"))
+      .select("coll", "array_id", "points", "quota", "allowed", "n_chunks")
+      .orderBy("coll", "array_id")
+
+  val a33Sql: String =
+    s"""WITH $cellsSql, $corpusCellsSql, $intCellsSql, $floatCellsSql,
+       |$allCellsSql
+       |SELECT coll, array_id,
+       |  (MAX(i0) + 1) * $Dim1Size AS points,
+       |  CAST($PointsQuota AS BIGINT) AS quota,
+       |  (MAX(i0) + 1) * $Dim1Size <= $PointsQuota AS allowed,
+       |  ((MAX(i0) + 1) * $Dim1Size + ${PointsQuota - 1}) // $PointsQuota AS n_chunks
+       |FROM all_cells GROUP BY coll, array_id ORDER BY coll, array_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a33_points_quota" -> (a33PointsQuota _),
     "a13_subset_chunked" -> (a13SubsetChunked _),
     "a14_dense_read" -> (a14DenseRead _),
     "a15_subset_stats" -> (a15SubsetStats _),
@@ -1066,6 +1138,7 @@ object ArrayOps {
        |FROM keyed ORDER BY v0, v1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a33_points_quota" -> a33Sql,
     "a32_varray_patch" -> a32Sql,
     "a13_subset_chunked" -> a13Sql,
     "a14_dense_read" -> a14Sql,

@@ -404,19 +404,46 @@ object Dedup {
   // --- d5_embed_dedup: embedding-cosine near-dup pairs --------------------
   // Bucketed candidate generation + per-bucket exact verify — the shape
   // that survives 100 TB. Each vector gets EmbTables sign-LSH bucket ids
-  // (EmbPlanes random hyperplanes per table); vectors shuffle ONCE by
-  // their (table, bucket) key — 24·n·dim bytes, never all-pairs, never a
+  // (k random hyperplanes per table); vectors shuffle ONCE by their
+  // (table, bucket) key — 24·n·dim bytes, never all-pairs, never a
   // driver collect — and the exact cosine runs inside each bucket.
   //
-  // Tuning: recall per pair is 1-(1-(1-θ/π)^k)^T. T=24 tables of k=3
-  // planes covers the θ≥0.45 band completely on the synthetic corpus
-  // (measured: 14/14 true pairs at sf0.01, 144/144 at sf0.1 vs the
-  // all-pairs ground truth) — and the oracle replays the SAME bucketed
-  // plan, so correctness is by construction at any SF. At production
-  // near-dup thresholds (cos ≥ 0.8) the same structure is strongly
-  // sub-quadratic; k scales as log₂(n/bucket-target) on a real corpus.
+  // k is ADAPTIVE (round 7's one superlinear-trending scale item): the
+  // plan carries a 1-row vector count and every kernel computes
+  // k = clamp(bitLength(n / EmbBucketTarget), EmbKMin, EmbKMax) — pure
+  // integer bit-length, no libm, bit-identical on both engines — so the
+  // expected bucket population stays pinned near EmbBucketTarget as the
+  // corpus grows instead of the in-bucket pair work growing n²/2^k with
+  // k frozen (SCALE_UP r7 measured exponent 0.82 at the 10× probe for
+  // exactly that reason). Plane (t, i) is seeded independently of k
+  // (stride EmbKMax), so growing k EXTENDS each table's plane set
+  // without re-randomizing the prefix.
+  //
+  // Recall: per pair 1-(1-(1-θ/π)^k)^T, independent of n. At the test
+  // SFs (n ≤ 2000) the rule selects k=EmbKMin=3, where T=24 tables
+  // cover the synthetic θ≥0.45 band completely (PipelineSpec proves it
+  // against all-pairs ground truth at both SFs) — and the oracle
+  // replays the SAME bucketed plan, so Spark-vs-oracle equivalence is
+  // by construction. As k grows, recall at a FIXED θ falls — the
+  // threshold the guarantee targets is the production near-dup band
+  // (cos ≥ 0.8, plane-agreement p ≈ 0.8), where even k=8/T=24 keeps
+  // recall ≥ 0.98; holding full recall at the synthetic θ=0.45 while
+  // pinning bucket size would need T to grow with k (the classic LSH
+  // ρ-exponent cost), which trades the shuffle linearly for it.
   val EmbTables = 24
-  val EmbPlanes = 3
+  val EmbKMin = 3
+  val EmbKMax = 8
+  val EmbBucketTarget = 256
+
+  /** clamp(bitLength(n / target), 3, 8): bitLength(q) = 64 - nlz(q) =
+    * floor(log2 q) + 1 for q ≥ 1, 0 at q = 0 — the exact integer log2
+    * quantization the oracle mirrors with length(bin(q)).
+    */
+  def embK(n: Long): Int = {
+    val q = n / EmbBucketTarget
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(q)
+    math.min(EmbKMax, math.max(EmbKMin, bits))
+  }
 
   /** splitmix64 — decorrelated plane coefficients (the LCG used for s2's
     * four planes shows visible correlation across 72 planes).
@@ -429,9 +456,12 @@ object Dedup {
   }
 
   /** Uniform [-1,1) hyperplanes; dyadic rationals, so the decimal literal
-    * in the oracle parses to the bit-identical double.
+    * in the oracle parses to the bit-identical double. Bank of
+    * EmbTables × EmbKMax planes; plane (t, i) lives at t*EmbKMax + i so
+    * its coefficients do not depend on how many planes a given corpus
+    * size activates.
     */
-  val embPlanes: Seq[Seq[Double]] = (0 until EmbTables * EmbPlanes).map { p =>
+  val embPlanes: Seq[Seq[Double]] = (0 until EmbTables * EmbKMax).map { p =>
     (0 until Similarity.Dims).map { d =>
       (splitmix64(p * 64L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
@@ -449,14 +479,14 @@ object Dedup {
     * across the whole sf0.1 table in fused loops, where the equivalent
     * higher-order-function column costs seconds interpreted.
     */
-  private def kernelBuckets(emb: Array[Double]): Array[Long] = {
+  private def kernelBuckets(emb: Array[Double], k: Int): Array[Long] = {
     val out = new Array[Long](EmbTables)
     var t = 0
     while (t < EmbTables) {
       var b = 0L
       var i = 0
-      while (i < EmbPlanes) {
-        val p = embPlanesArr(t * EmbPlanes + i)
+      while (i < k) {
+        val p = embPlanesArr(t * EmbKMax + i)
         var acc = 0.0
         var d = 0
         while (d < p.length) { acc += emb(d) * p(d); d += 1 }
@@ -470,10 +500,10 @@ object Dedup {
   }
 
   private def embBucketSqlExpr(t: Int): String =
-    (0 until EmbPlanes).map { i =>
+    (0 until EmbKMin).map { i =>
       val dot =
         s"""list_reduce(list_prepend(0.0,
-           |      list_transform(range(1, 65), i -> emb[i] * (${planeLitSql(embPlanes(t * EmbPlanes + i))})[i])),
+           |      list_transform(range(1, 65), i -> emb[i] * (${planeLitSql(embPlanes(t * EmbKMax + i))})[i])),
            |      (acc, x) -> acc + x)""".stripMargin
       s"CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString(" + ")
@@ -490,11 +520,17 @@ object Dedup {
     */
   def d5EmbedDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Similarity.normed(s, dir)
-      .select("vec_id", "emb", "norm")
-      .as[(Long, Array[Double], Double)]
-      .mapPartitions(_.flatMap { case (id, emb, norm) =>
-        val bs = kernelBuckets(emb)
+    val normed = Similarity.normed(s, dir).select("vec_id", "emb", "norm")
+    // the vector count rides the plan as a broadcast 1-row aggregate
+    // (bounded by construction), so k is chosen from n INSIDE the query —
+    // no driver-side count during construction (PlanAuditSpec forbids
+    // construction-time jobs), and the plan re-adapts per run as the
+    // table grows
+    val nRow = normed.groupBy().agg(count(lit(1)).as("n_vec"))
+    normed.crossJoin(broadcast(nRow))
+      .as[(Long, Array[Double], Double, Long)]
+      .mapPartitions(_.flatMap { case (id, emb, norm, n) =>
+        val bs = kernelBuckets(emb, embK(n))
         (0 until EmbTables).iterator.map(t => (t, bs(t), id, emb, norm))
       })
       .toDF("tbl", "bkt", "vec_id", "emb", "norm")
@@ -540,10 +576,25 @@ object Dedup {
   val d5Sql: String = {
     val buckets = (0 until EmbTables)
       .map(t => s"CAST(${embBucketSqlExpr(t)} AS BIGINT)").mkString(",\n    ")
+    // params mirrors embK bit-exactly: length(bin(q)) = bitLength(q) for
+    // q >= 1 (no libm). The plane expressions below are unrolled for
+    // k = EmbKMin — the value the rule selects at every corpus the
+    // oracle runs on (the driver gate is sf0.01); a corpus big enough to
+    // activate more planes raises a LOUD error instead of silently
+    // diverging. error() sits in the CTE projection, its input k0 in an
+    // inner subquery (DuckDB cannot reference a same-SELECT alias whose
+    // chain contains error()).
     s"""WITH ${Similarity.normedSql},
+       |params AS (
+       |  SELECT CASE WHEN k0 <> $EmbKMin THEN error('d5 oracle is unrolled for k=$EmbKMin planes; the adaptive rule selects k=' || CAST(k0 AS VARCHAR))
+       |              ELSE k0 END AS k
+       |  FROM (SELECT LEAST($EmbKMax, GREATEST($EmbKMin,
+       |          CASE WHEN n // $EmbBucketTarget = 0 THEN 0
+       |               ELSE length(bin(n // $EmbBucketTarget)) END)) AS k0
+       |        FROM (SELECT COUNT(*) AS n FROM normed))),
        |bucketed AS (
        |  SELECT vec_id, [$buckets] AS buckets
-       |  FROM normed),
+       |  FROM normed CROSS JOIN params WHERE k = $EmbKMin),
        |exploded AS (
        |  SELECT vec_id, tbl, buckets[tbl + 1] AS bkt
        |  FROM bucketed CROSS JOIN (SELECT unnest(range(0, $EmbTables)) AS tbl)),

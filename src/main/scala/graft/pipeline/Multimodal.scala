@@ -7,33 +7,42 @@ import org.apache.spark.sql.functions._
 /** §2-C multimodal-column plumbing.
   *
   * Real pipelines carry image/audio/video as opaque `binary` columns with
-  * typed metadata and decode via vectorized UDFs over batches. The media
-  * codecs are NOT available in this environment, so the decode step is a
-  * clearly-marked deterministic STUB — but everything Spark-cares-about is
-  * real: the binary column, the case-class Encoders, the `mapPartitions`
-  * batch shape (one decoder init per partition, streamed rows), and the
-  * derived-metadata schema.
+  * typed metadata and decode via vectorized UDFs over batches. The image
+  * path (m1/m3) runs a REAL codec — [[Ppm]], a genuine P6 header + raster
+  * parser with typed decode errors — over payloads synthesized
+  * deterministically from each document's bytes (the container has no
+  * stored media files or heavyweight codecs, so synthesis stands in for
+  * the file read; the decode itself interprets the format for real).
+  * Everything Spark-cares-about is real throughout: the binary column,
+  * the case-class Encoders, the `mapPartitions` batch shape (one decoder
+  * init per partition, streamed rows), and the derived-metadata schema.
   */
 object Multimodal {
 
   /** A document's payload as an opaque binary blob. */
   case class DocBlob(doc_id: Long, data: Array[Byte])
 
-  /** Metadata a real decoder would emit. */
+  /** Metadata the decoder emits. */
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
                        height: Long, format: String)
 
-  /** STUB decoder: stands in for e.g. an image codec. Deterministic
-    * function of the bytes only, so the oracle can verify the plumbing.
-    * A real deployment swaps this body for the codec call; the partition
-    * shape (init-once, stream rows) is already right.
+  /** Deterministic media synthesis: each document's stored payload is a
+    * canonical P6 whose dimensions derive from (byte length, first byte)
+    * and whose raster tiles the document bytes cyclically (zero raster
+    * for an empty document). Deterministic by construction, so the
+    * octet-based oracles can state the decoder's expected output — while
+    * the decoder itself genuinely parses the container format.
     */
-  def stubDecode(b: DocBlob): MediaMeta = MediaMeta(
-    doc_id = b.doc_id,
-    n_bytes = b.data.length.toLong,
-    width = 16L + (b.data.length % 64),
-    height = 16L + ((b.data.headOption.getOrElse(0: Byte) & 0xff) % 32),
-    format = "fake/raw")
+  def synthPpm(b: DocBlob): Array[Byte] = {
+    val w = 16 + (b.data.length % 64)
+    val h = 16 + ((b.data.headOption.getOrElse(0: Byte) & 0xff) % 32)
+    val raster = new Array[Byte](3 * w * h)
+    if (b.data.length > 0) {
+      var i = 0
+      while (i < raster.length) { raster(i) = b.data(i % b.data.length); i += 1 }
+    }
+    Ppm.encode(Ppm.Image(w, h, raster))
+  }
 
   // --- m1_multimodal ------------------------------------------------------
   def m1Multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -43,7 +52,12 @@ object Multimodal {
       .as[DocBlob]
       .mapPartitions { it =>
         // decoder init would happen here, once per partition
-        it.map(stubDecode)
+        it.map { b =>
+          val payload = synthPpm(b)
+          val img = Ppm.decode(payload) // REAL parse: magic, dims, raster check
+          MediaMeta(b.doc_id, payload.length.toLong,
+            img.width.toLong, img.height.toLong, "image/x-portable-pixmap")
+        }
       }
       .toDF()
       .orderBy("doc_id")
@@ -52,16 +66,24 @@ object Multimodal {
   // Octet-based oracle: strlen is BYTE length and hex(encode(text)) yields
   // two hex chars per UTF-8 byte, so the contract holds for ANY payload —
   // no ASCII assumption (this DuckDB has no blob substring; the hex string
-  // is the byte-addressable view).
+  // is the byte-addressable view). n_bytes is the FULL P6 size: 3-byte
+  // magic+newline, the two ASCII dimension fields and their separator,
+  // "\n255\n" (5), then the 3·w·h raster.
   val m1Sql: String =
-    """SELECT doc_id,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  16 + CAST(strlen(text) AS BIGINT) % 64 AS width,
-      |  16 + CAST(CASE WHEN strlen(text) = 0 THEN 0
-      |                 ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
-      |            END AS BIGINT) % 32 AS height,
-      |  'fake/raw' AS format
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    16 + CAST(strlen(text) AS BIGINT) % 64 AS width,
+      |    16 + CAST(CASE WHEN strlen(text) = 0 THEN 0
+      |                   ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT
+      |              END AS BIGINT) % 32 AS height
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(3 + strlen(CAST(width AS VARCHAR)) + 1
+      |         + strlen(CAST(height AS VARCHAR)) + 5
+      |         + 3 * width * height AS BIGINT) AS n_bytes,
+      |  width, height,
+      |  'image/x-portable-pixmap' AS format
+      |FROM dims ORDER BY doc_id""".stripMargin
 
   // --- m2_frame_sample ----------------------------------------------------
   // Video-style frame sampling over the binary payload: split into fixed
@@ -120,12 +142,13 @@ object Multimodal {
        |ORDER BY doc_id, frame_idx""".stripMargin
 
   // --- m3_resize ----------------------------------------------------------
-  // Image-style resize over the binary payload: the stub decoder's
-  // (width, height) raster is downsampled 2x by strided byte sampling
-  // (index (2y·src_w + 2x) mod n_bytes), emitting the new dims and a
-  // checksum of the sampled bytes. A real deployment replaces the sampler
-  // with the codec's scaler; the Spark side — typed binary in, metadata
-  // out, init-once per partition — is the real contract.
+  // Image resize over the DECODED raster: parse the P6 payload, downsample
+  // the true w×h×3 raster 2× by strided pixel sampling (the R byte at
+  // (2x, 2y), raster offset 3·(2y·src_w + 2x)), emitting the new dims and
+  // a checksum of the sampled bytes. A real deployment swaps the sampler
+  // for a proper scaler kernel; the decode feeding it is already a real
+  // parse, and the Spark side — typed binary in, metadata out, init-once
+  // per partition — is the real contract.
   case class ResizeMeta(doc_id: Long, src_w: Long, src_h: Long,
                         dst_w: Long, dst_h: Long, thumb_checksum: Long)
 
@@ -136,31 +159,32 @@ object Multimodal {
       .as[DocBlob]
       .mapPartitions { it =>
         it.map { b =>
-          val m = stubDecode(b)
-          val (dw, dh) = (math.max(1L, m.width / 2), math.max(1L, m.height / 2))
-          val nb = b.data.length
+          val img = Ppm.decode(synthPpm(b))
+          val dw = math.max(1, img.width / 2)
+          val dh = math.max(1, img.height / 2)
           var sum = 0L
-          // empty payload: nothing to sample (guards % 0), checksum 0 —
-          // mirrored by the oracle's CASE WHEN nb = 0
-          if (nb > 0) {
-            var i = 0L
-            val n = dw * dh
-            while (i < n) {
-              val x = i % dw; val y = i / dw
-              val idx = ((2 * y * m.width + 2 * x) % nb).toInt
-              sum += (b.data(idx) & 0xff)
-              i += 1
-            }
+          var i = 0L
+          val n = dw.toLong * dh
+          while (i < n) {
+            val x = i % dw; val y = i / dw
+            // 2y < h and 2x < w by construction, so the offset is always
+            // inside the decoded raster — no wrap, a true pixel read
+            sum += (img.raster((3 * (2 * y * img.width + 2 * x)).toInt) & 0xff)
+            i += 1
           }
-          ResizeMeta(b.doc_id, m.width, m.height, dw, dh, sum)
+          ResizeMeta(b.doc_id, img.width.toLong, img.height.toLong,
+            dw.toLong, dh.toLong, sum)
         }
       }
       .toDF()
       .orderBy("doc_id")
   }
 
-  // Octet-based oracle (see m1Sql): one list_reduce over the dst raster,
-  // each sample indexing the hex string at 2 chars/byte.
+  // Octet-based oracle (see m1Sql): one list_reduce over the dst raster.
+  // The synthesized raster byte at offset j is document byte j % nb
+  // (zeros for an empty document), so each sampled pixel reads the hex
+  // string at 2 chars/byte of that index; an empty document's all-zero
+  // raster sums to 0 (the CASE arm).
   val m3Sql: String =
     """WITH base AS (
       |  SELECT doc_id, strlen(text) AS nb, hex(encode(text)) AS h,
@@ -177,7 +201,7 @@ object Multimodal {
       |  CAST(CASE WHEN nb = 0 THEN 0 ELSE list_reduce(list_prepend(0,
       |    list_transform(range(0, dst_w * dst_h),
       |      i -> ('0x' || substr(h,
-      |             2 * ((2 * (i // dst_w) * src_w + 2 * (i % dst_w)) % nb) + 1,
+      |             2 * ((3 * (2 * (i // dst_w) * src_w + 2 * (i % dst_w))) % nb) + 1,
       |             2))::BIGINT)),
       |    (a, b) -> a + b) END AS BIGINT) AS thumb_checksum
       |FROM dims ORDER BY doc_id""".stripMargin

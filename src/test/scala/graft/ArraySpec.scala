@@ -153,6 +153,55 @@ class ArraySpec extends SparkSpec {
     }
   }
 
+  test("error surface: timeout, healthcheck, cluster id-filter, points quota") {
+    import graft.arrays.ArrayOps.Dim
+    val c = ArrayModel.cells(spark, sf)
+    // points quota: the lattice (not the populated cells) is what the
+    // server sizes — 10×8 = 80 points pass a quota of 80, fail 79; the
+    // error carries the reference's limiter fields
+    assert(ArrayOps.sliceReadLimited(c, "view", Dim(5, 15), Dim(2, 10), 80).count() ==
+      ArrayOps.sliceRead(c, "view", (5L, 15L), (2L, 10L)).count())
+    val pe = intercept[graft.GraftDataPointsLimitError] {
+      ArrayOps.sliceReadLimited(c, "view", Dim(5, 15), Dim(2, 10), 79)
+    }
+    assert(pe.limit.contains(79L) && pe.remaining.contains(0L))
+    // a strided request is sized by SELECTED points: 5×8 = 40 under the
+    // same bounds fits the quota the dense request failed
+    assert(ArrayOps.sliceReadLimited(c, "view", Dim(5, 15, 2), Dim(2, 10), 79)
+      .count() >= 0)
+    // cluster-mode id filter forbidden (the collection has primary
+    // attributes); primary-attribute addressing (a7) and single-node id
+    // lookups stay allowed
+    intercept[graft.GraftIdFilterForbiddenError] {
+      ArrayOps.metaLookup(spark, sf, byId = Some("click"), clusterMode = true)
+    }
+    assert(ArrayOps.metaLookup(spark, sf, byId = Some("click"), clusterMode = false)
+      .count() == 1)
+    assert(ArrayOps.metaLookup(spark, sf, byId = None, clusterMode = true)
+      .count() > 0)
+    // healthcheck: green on a real store, typed error naming the missing
+    // tables on a broken one
+    graft.Errors.healthcheck(spark, sf)
+    val he = intercept[graft.GraftHealthcheckError] {
+      graft.Errors.healthcheck(spark, "/nonexistent-store")
+    }
+    assert(he.getMessage.contains("documents"))
+    // timeout: a within-budget action passes; a deliberately slow action
+    // is CANCELLED (not just abandoned) and surfaces as the typed 504
+    // analogue
+    import spark.implicits._
+    assert(graft.Errors.withTimeout(spark, 60000L) {
+      spark.range(10).count()
+    } == 10L)
+    intercept[graft.GraftTimeoutError] {
+      graft.Errors.withTimeout(spark, 300L) {
+        spark.range(1, 33, 1, 32).mapPartitions { it =>
+          Thread.sleep(30000); it
+        }.count()
+      }
+    }
+  }
+
   test("varray assemble round-trips global coords") {
     val df = ArrayOps.a10VarrayAssemble(spark, sf)
     assert(df.filter(col("g0") =!= col("v0") * ArrayModel.Tile0 + col("l0")).count() == 0)

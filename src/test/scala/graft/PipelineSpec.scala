@@ -183,6 +183,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Ppm codec: real round-trip parse; malformed payloads raise typed errors") {
+    import graft.pipeline.Ppm
+    // round trip preserves header fields and raster bytes exactly
+    val raster = Array.tabulate(3 * 4 * 2)(i => ((i * 37) % 251).toByte)
+    val good = Ppm.encode(Ppm.Image(4, 2, raster))
+    val img = Ppm.decode(good)
+    assert(img.width == 4 && img.height == 2)
+    assert(java.util.Arrays.equals(img.raster, raster))
+    // the decoder interprets the header for real: every corruption raises
+    // the TYPED media error instead of deriving fake metadata from bytes
+    val badMagic = good.clone(); badMagic(1) = '5'
+    intercept[graft.GraftMediaDecodeError](Ppm.decode(badMagic))
+    intercept[graft.GraftMediaDecodeError](Ppm.decode(good.dropRight(1)))
+    intercept[graft.GraftMediaDecodeError](Ppm.decode(good ++ Array[Byte](0)))
+    intercept[graft.GraftMediaDecodeError](Ppm.decode(
+      "P6\n4 2\n254\n".getBytes("US-ASCII") ++ raster))
+    intercept[graft.GraftMediaDecodeError](Ppm.decode(
+      "P6\nx 2\n255\n".getBytes("US-ASCII") ++ raster))
+    intercept[graft.GraftMediaDecodeError](Ppm.decode(
+      "P6\n4 0\n255\n".getBytes("US-ASCII")))
+    // m1's metadata comes from the PARSED container: n_bytes is the full
+    // P6 size (ASCII header + 3wh raster), strictly larger than the
+    // source document and consistent with the parsed dimensions
+    val r = Multimodal.m1Multimodal(spark, sf).limit(5).collect()
+    r.foreach { row =>
+      val (w, h) = (row.getAs[Long]("width"), row.getAs[Long]("height"))
+      val header = 3 + w.toString.length + 1 + h.toString.length + 5
+      assert(row.getAs[Long]("n_bytes") == header + 3 * w * h)
+      assert(row.getAs[String]("format") == "image/x-portable-pixmap")
+    }
+  }
+
   test("s1 knn: neighbors are truly the top-k (spot-check query 0)") {
     val e = Similarity.normed(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"),
