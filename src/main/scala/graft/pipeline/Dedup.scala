@@ -634,6 +634,14 @@ object Dedup {
         require(lr.rdd.isCheckpointed,
           "releaseCheckpoint called on a non-materialized checkpoint RDD — " +
             "the localCheckpoint() producing it must stay eager")
+        // blocking=false is a measured choice, not an oversight: the
+        // blocking=true alternative was A/B'd standalone (8 runs each,
+        // same host) for d7 — it adds ~20% deterministic cost (min 1.43s
+        // vs 1.15s) by serializing every CC round behind block deletion,
+        // and does NOT shrink d7's run-to-run spread (which is many-
+        // small-jobs scheduling noise, not deferred-cleanup billing).
+        // The bench's per-op GC barrier + min-of-4 + published raw runs
+        // are the guard against async cleanup landing on a neighbor.
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
