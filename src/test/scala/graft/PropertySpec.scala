@@ -113,6 +113,49 @@ object GraftProperties extends Properties("graft") {
       hs.forall(graft.functions.BloomImpl.mightContain(bytes, _))
     }
 
+  // Ppm codec: the m-family's real decoder must be total over its own
+  // encoder's range and reject every malformed header — for ANY image,
+  // not just the fixtures PipelineSpec hand-corrupts.
+  private val imgGen: Gen[graft.pipeline.Ppm.Image] = for {
+    w <- Gen.chooseNum(1, 40)
+    h <- Gen.chooseNum(1, 40)
+    raster <- Gen.containerOfN[Array, Byte](
+      3 * w * h, Gen.choose(Byte.MinValue, Byte.MaxValue))
+  } yield graft.pipeline.Ppm.Image(w, h, raster)
+
+  property("ppm.roundTrip") = Prop.forAll(imgGen) { img =>
+    val out = graft.pipeline.Ppm.decode(graft.pipeline.Ppm.encode(img))
+    out.width == img.width && out.height == img.height &&
+      java.util.Arrays.equals(out.raster, img.raster)
+  }
+
+  property("ppm.rejectsTruncationAndTrailingGarbage") =
+    Prop.forAll(imgGen, Gen.chooseNum(1, 5)) { (img, k) =>
+      val good = graft.pipeline.Ppm.encode(img)
+      Prop.throws(classOf[GraftMediaDecodeError]) {
+        graft.pipeline.Ppm.decode(good.dropRight(k))
+      } && Prop.throws(classOf[GraftMediaDecodeError]) {
+        graft.pipeline.Ppm.decode(good ++ Array.fill(k)(0: Byte))
+      }
+    }
+
+  // strict-parser guarantee: flipping ANY single header byte to any other
+  // value is caught — by the magic check, the header grammar, the
+  // maxval/dims validation, or the raster-length-vs-promise check (a
+  // changed dimension digit changes the promised raster size)
+  property("ppm.rejectsAnyHeaderByteFlip") =
+    Prop.forAll(imgGen, Gen.chooseNum(0, 255)) { (img, b) =>
+      val good = graft.pipeline.Ppm.encode(img)
+      val headerLen = good.length - img.raster.length
+      Prop.forAll(Gen.chooseNum(0, headerLen - 1)) { pos =>
+        val mut = good.clone()
+        mut(pos) = b.toByte
+        mut(pos) == good(pos) || Prop.throws(classOf[GraftMediaDecodeError]) {
+          graft.pipeline.Ppm.decode(mut)
+        }
+      }
+    }
+
   property("sessions.gapInvariants") = Prop.forAll(eventsGen) { evs =>
     val sessions = Streams.buildSessions(7L, evs.iterator).toList
     val ordered = sessions.sortBy(_.sess_idx)
