@@ -51,9 +51,11 @@ object BenchTier {
     "d2_minhash_lsh", "d4_ngram_jaccard", "d5_embed_dedup",
     "d7_dup_groups", "d9_decontaminate", "d12_bloom_decontaminate",
     "d15_curation_funnel",
-    // similarity, text, multimodal
+    // similarity, text, multimodal (m1/m3 exercise the real P6 decode
+    // path — codec cost must scale linearly with the corpus), streaming
     "s1_knn_brute", "s3_ivf_ann", "t5_top_terms", "t9_rarity_score",
-    "m4_feature_extract")
+    "m1_multimodal", "m3_resize", "m4_feature_extract",
+    "st7_stream_decontaminate")
 
   private val KeyOff = 1000000000L
 

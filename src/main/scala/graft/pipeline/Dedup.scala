@@ -693,13 +693,25 @@ object Dedup {
     * table is a first-class pipeline artifact, not a per-query subplan.
     */
   private val labelPaths = scala.collection.concurrent.TrieMap[String, String]()
-  private val labelLock = new Object
+
+  /** One monitor per dir, minted via putIfAbsent (atomic on TrieMap,
+    * unlike getOrElseUpdate): duplicate first callers of the SAME dir
+    * still collapse to one CC run, but different dirs no longer
+    * serialize their (multi-job, seconds-long) materializations behind
+    * one global monitor — the same shape ArrayModel.lockFor fixed for
+    * the cell stores.
+    */
+  private val labelLocks = scala.collection.concurrent.TrieMap[String, Object]()
+  private def labelLockFor(dir: String): Object = {
+    val fresh = new Object
+    labelLocks.putIfAbsent(dir, fresh).getOrElse(fresh)
+  }
 
   def labelsStored(s: SparkSession, dir: String): DataFrame = {
-    // labelLock: TrieMap.getOrElseUpdate is not atomic (get-then-update)
-    // — two concurrent first callers would both run the CC loop and
-    // overwrite the same store (see ArrayModel.storeLock)
-    val path = labelLock.synchronized {
+    // per-dir lock: TrieMap.getOrElseUpdate is not atomic (get-then-
+    // update) — two concurrent first callers would both run the CC loop
+    // and overwrite the same store
+    val path = labelLockFor(dir).synchronized {
       labelPaths.getOrElseUpdate(dir, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft-labels-" +
         s"${ProcessHandle.current.pid}-${Integer.toHexString(dir.hashCode)}"

@@ -695,4 +695,58 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"),
       s"unexpected shuffle in map-only text op:\n$plan")
   }
+
+  test("d5 adaptive k: full production-band recall where the rule selects k=4") {
+    // The verify SFs (n = 500 / 2000) all select k = EmbKMin = 3, so the
+    // oracle gate never exercises the ADAPTIVE branch. This proves it end
+    // to end: a 2560-vector store makes the in-plan count pick k = 4
+    // (bitLength(2560/256) = 4), and the real operator must still recall
+    // every production-band pair (cos >= 0.8) against an exhaustive
+    // brute-force ground truth. Corpus: 1280 near-orthogonal bases
+    // (d = 64, random cross-cos ~ N(0, 0.125): nothing near the band) +
+    // one perturbed near-duplicate per base (cos ~ 0.94), so the band is
+    // exactly the 1280 constructed pairs and recall misses are loud.
+    assert(Dedup.embK(2560) == 4 && Dedup.embK(2000) == 3)
+    val dims = Similarity.Dims
+    val half = 1280
+    def u01(x0: Long): Double = { // splitmix64-style mix to [-1, 1)
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    val bases = Array.tabulate(half, dims)((i, d) => u01(i.toLong * 131 + d).toFloat)
+    val dups = Array.tabulate(half, dims)((i, d) =>
+      (bases(i)(d) + 0.35 * u01((i + half).toLong * 131 + d)).toFloat)
+    val rows = (bases ++ dups).zipWithIndex.map { case (v, id) =>
+      (id.toLong, v.toSeq, id % 7)
+    }
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-d5k4-${ProcessHandle.current.pid}"
+    TmpCleanup.register(dir)
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // ground truth: exhaustive cosines with the operator's exact fold
+    // (left-to-right double accumulation over the float-cast values)
+    val all = (bases ++ dups).map(_.map(_.toDouble))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var d = 0
+      while (d < a.length) { acc += a(d) * b(d); d += 1 }
+      acc
+    }
+    val norms = all.map(v => math.sqrt(dot(v, v)))
+    val truth = (for {
+      i <- all.indices.iterator
+      j <- (i + 1) until all.length
+      if dot(all(i), all(j)) / (norms(i) * norms(j)) >= 0.8
+    } yield (i.toLong, j.toLong)).toSet
+    assert(truth.size == half, s"construction: expected $half band pairs, got ${truth.size}")
+    val got = SparkEntry.queries("d5_embed_dedup")(spark, dir)
+      .filter(col("cosine") >= 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(got),
+      s"adaptive-k recall miss: ${(truth -- got).take(5)} of ${truth.size} band pairs absent")
+  }
 }
