@@ -26,12 +26,11 @@ import org.apache.spark.sql.functions._
   *    bit-identical to the original corpus, cross-replica cosines are
   *    sign-scrambled to random-like. (float · ±1f is exact.)
   *
-  * Caveat recorded with the artifact: s2 holds the oracle's fixed k
-  * (planes per table), so its in-bucket density grows with n at fixed k;
-  * d5's k is adaptive since round 8 (k = clamp(bitLength(n/256), 3, 8)
-  * from an in-plan count — the probe's 10× corpus activates a larger k
-  * and measures the adaptation for real). The probe measures the SHIPPED
-  * configuration honestly instead of a re-tuned one.
+  * Both LSH families adapt k in-plan since round 8 (d5:
+  * k = clamp(bitLength(n/256), 3, 8) kernel-side; s2: the same rule as a
+  * gated column expression, kmin 4) — the probe's 10× corpus activates a
+  * larger k on both and measures the adaptation for real. The probe
+  * measures the SHIPPED configuration honestly instead of a re-tuned one.
   */
 object ScaleProbe {
 
@@ -121,7 +120,7 @@ object ScaleProbe {
     val json =
       s"""{"mult":$mult,"main_sf":"$mainDir","doc_ratio":${Bench.fnum(docRatio, 1)},""" +
         s""""emb_ratio":${Bench.fnum(embRatio, 1)},"timing":"min of 4 after warm + GC barrier",""" +
-        s""""note":"s2 holds the oracle's fixed k; d5's k adapts in-plan (clamp(bitLength(n/256),3,8)) since round 8 (SURVEY par.5)",""" +
+        s""""note":"d5 and s2 both adapt k in-plan since round 8 (clamp(bitLength(n/256), kmin, 8)); bucket population pinned as n grows (SURVEY par.5)",""" +
         s""""ops":${entries.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_UP.json"),
       (json + "\n").getBytes("UTF-8"))

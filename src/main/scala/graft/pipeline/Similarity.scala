@@ -89,12 +89,26 @@ object Similarity {
        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
 
   // --- s2_lsh_ann: random-hyperplane buckets + in-bucket exact top-3 ------
-  val NumPlanes = 4
+  // k (planes, so 2^k buckets) is ADAPTIVE exactly like d5's (round 8):
+  // frozen k means per-query candidate work grows as n/2^k — linear in
+  // the corpus — while k = clamp(bitLength(n/target), kmin, kmax) pins
+  // the expected bucket population. The vector count rides the plan as a
+  // broadcast 1-row aggregate and the bucket expression gates each
+  // plane's bit on i < k, so the SAME declarative plan serves every
+  // corpus size and the oracle replays it k-generically (no unroll
+  // guard needed, unlike d5's kernel-side k). At the verify SFs
+  // (n = 500 / 2000 → q = n/256 < 16) the rule selects k = S2KMin = 4 —
+  // bit-identical to the pre-adaptive operator.
+  val S2KMin = 4
+  val S2KMax = 8
+  val S2BucketTarget = 256
   /** Deterministic pseudo-random hyperplanes in [-1,1): LCG over (p,d).
     * Values are dyadic rationals -> exact decimal literals -> both engines
-    * parse the identical double.
+    * parse the identical double. Bank of S2KMax planes; the first S2KMin
+    * are unchanged from the fixed-k operator, so small corpora keep their
+    * exact historical buckets.
     */
-  val planes: Seq[Seq[Double]] = (0 until NumPlanes).map { p =>
+  val planes: Seq[Seq[Double]] = (0 until S2KMax).map { p =>
     (0 until 64).map { d =>
       val v = (1103515245L * (p * 64 + d) + 12345L) % 2147483648L
       v.toDouble / 2147483648.0 * 2.0 - 1.0
@@ -107,25 +121,50 @@ object Similarity {
   private def planeSqlList(p: Seq[Double]): String =
     "[" + p.map(x => new java.math.BigDecimal(x).toPlainString).mkString(", ") + "]"
 
-  /** Sign-bucket id as a pure column expression (plane literals fold to
-    * constant ArrayData; the dot is the native fused loop).
+  /** clamp(bitLength(n_vec / target), kmin, kmax) as a column —
+    * length(bin(q)) is the exact integer log₂ quantization both engines
+    * agree on (the d5/t9 doctrine; no libm anywhere near the plan).
     */
-  def bucketCol: Column =
+  private def s2KCol: Column = {
+    val q = expr(s"n_vec div $S2BucketTarget")
+    least(lit(S2KMax), greatest(lit(S2KMin),
+      when(q === 0, lit(0)).otherwise(length(bin(q)))))
+  }
+
+  /** Sign-bucket id as a pure column expression (plane literals fold to
+    * constant ArrayData; the dot is the native fused loop). Plane i
+    * contributes its bit only when i < k.
+    */
+  def bucketCol(k: Column): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val dot = graft.functions.DotProduct(col("emb"), litPlane(p))
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      when(lit(i) < k && dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** k-generic oracle mirror: references alias `k` (cross-joined params
+    * CTE).
+    */
   def bucketSqlExpr(emb: String): String =
     planes.zipWithIndex.map { case (p, i) =>
       val dot = s"""list_reduce(list_prepend(0.0,
                    |  list_transform(range(1, 65), i -> $emb[i] * (${planeSqlList(p)})[i])),
                    |  (acc, x) -> acc + x)""".stripMargin
-      s"CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
+      s"CASE WHEN $i < k AND $dot > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString(" + ")
 
+  val s2ParamsSql: String =
+    s"""params AS (
+       |  SELECT LEAST($S2KMax, GREATEST($S2KMin,
+       |    CASE WHEN n // $S2BucketTarget = 0 THEN 0
+       |         ELSE length(bin(n // $S2BucketTarget)) END)) AS k
+       |  FROM (SELECT COUNT(*) AS n FROM normed))""".stripMargin
+
   def s2LshAnn(s: SparkSession, dir: String): DataFrame = {
-    val e = normed(s, dir).withColumn("bucket", bucketCol)
+    val n0 = normed(s, dir)
+    val nRow = n0.groupBy().agg(count(lit(1)).as("n_vec"))
+    val e = n0.crossJoin(broadcast(nRow))
+      .withColumn("bucket", bucketCol(s2KCol))
+      .drop("n_vec")
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
               col("emb").as("qe"), col("norm").as("qn"))
@@ -141,10 +180,11 @@ object Similarity {
 
   val s2Sql: String =
     s"""WITH $normedSql,
+       |$s2ParamsSql,
        |bucketed AS (
        |  SELECT vec_id, emb, norm,
        |    CAST(${bucketSqlExpr("emb")} AS BIGINT) AS bucket
-       |  FROM normed),
+       |  FROM normed, params),
        |scored AS (
        |  SELECT q.vec_id AS q_id, q.bucket AS bucket, e.vec_id AS neighbor_id,
        |    ${cosineSql("q.emb", "e.emb", "q.norm", "e.norm")} AS cosine

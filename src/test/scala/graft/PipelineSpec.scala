@@ -749,4 +749,48 @@ class PipelineSpec extends SparkSpec {
     assert(truth.subsetOf(got),
       s"adaptive-k recall miss: ${(truth -- got).take(5)} of ${truth.size} band pairs absent")
   }
+
+  test("s2 adaptive k: extra planes activate in-plan on a larger corpus") {
+    // n = 4608 -> q = n/256 = 18 -> bitLength = 5 -> k = 5: the 5th plane
+    // (bit 4) must participate in the bucket the PLAN computes. Proven by
+    // recomputing each query's k=5 bucket JVM-side from the public plane
+    // bank with the operator's fold semantics and matching the operator's
+    // output bucket column — and by checking the k=4 bucket would differ
+    // for at least one query (so the assertion cannot pass vacuously).
+    assert(Similarity.S2KMin == 4 && Similarity.S2KMax == 8)
+    val dims = Similarity.Dims
+    def u01(x0: Long): Double = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    val n = 4608
+    val vecs = Array.tabulate(n, dims)((i, d) => u01(i.toLong * 977 + d).toFloat)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-s2k5-${ProcessHandle.current.pid}"
+    TmpCleanup.register(dir)
+    import spark.implicits._
+    vecs.zipWithIndex.map { case (v, id) => (id.toLong, v.toSeq, id % 7) }
+      .toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def bucketAt(v: Array[Float], k: Int): Long =
+      (0 until k).map { i =>
+        var acc = 0.0
+        val p = Similarity.planes(i)
+        for (d <- 0 until dims) acc += v(d).toDouble * p(d)
+        if (acc > 0) 1L << i else 0L
+      }.sum
+    val out = SparkEntry.queries("s2_lsh_ann")(spark, dir)
+      .select("q_id", "bucket").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty, "larger-corpus s2 returned no neighbors")
+    out.foreach { case (qId, bkt) =>
+      assert(bkt == bucketAt(vecs(qId.toInt), 5),
+        s"query $qId bucket $bkt != JVM k=5 recompute")
+    }
+    assert(out.exists { case (qId, _) =>
+      bucketAt(vecs(qId.toInt), 5) != bucketAt(vecs(qId.toInt), 4)
+    }, "no query exercises the 5th plane; corpus seed needs changing")
+  }
 }
