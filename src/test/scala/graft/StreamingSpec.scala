@@ -260,4 +260,40 @@ class StreamingSpec extends SparkSpec {
     assert(st7.except(d9).count() == 0 && d9.except(st7).count() == 0,
       "streaming ingest gate disagrees with the batch decontaminator")
   }
+
+  test("st1 watermark: rows older than the watermark are DROPPED, finalized windows stay closed") {
+    // The convergence tests replay a static file (nothing is ever late),
+    // so the semantics the watermark exists for — bounded state via late
+    // discard — was asserted nowhere. MemoryStream gives batch-level
+    // control: advance event time past the 2h watermark to finalize the
+    // [1,2)h window in append mode, then inject a row INTO that window
+    // and prove it changes nothing.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Streams.windowAggTransform(
+        mem.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("st1_late")
+      .outputMode("append").start()
+    def t(h: Double) = new java.sql.Timestamp((h * 3600 * 1000).toLong)
+    try {
+      mem.addData((t(1.25), "click", 1.0), (t(1.5), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((t(10.0), "view", 5.0)) // watermark -> 8h: [1,2) closes
+      q.processAllAvailable()
+      mem.addData((t(1.75), "click", 100.0)) // 6h15m late: must be dropped
+      q.processAllAvailable()
+      mem.addData((t(20.0), "view", 1.0)) // advance again: flush [10,11)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("st1_late")
+      .select("window_start", "event_type", "total_value", "n_events").collect()
+    val w1 = rows.filter(r => r.getLong(0) == 3600L && r.getString(1) == "click")
+    assert(w1.length == 1, s"window [1,2)h emitted ${w1.length} times (append mode => exactly once)")
+    assert(w1.head.getDouble(2) == 3.0 && w1.head.getLong(3) == 2L,
+      s"late row leaked into the finalized window: ${w1.head}")
+    assert(rows.exists(r => r.getLong(0) == 36000L && r.getString(1) == "view"),
+      "the watermark-advancing window itself never emitted")
+  }
 }
