@@ -139,12 +139,17 @@ object BenchTier {
     // means the plan does super-linear work; 1.3 leaves room for the
     // shrinking (but at 5× not yet gone) share of fixed per-query cost
     val superlinear = entries.collect { case (n, _, _, e) if e > 1.3 => "\"" + n + "\"" }
+    val (outFile, tierName) = mult match {
+      case 5  => ("BENCH_SF05.json", "sf0.5")
+      case 10 => ("BENCH_SF1.json", "sf1")
+      case m  => (s"BENCH_TIER${m}x.json", s"${m}x sf0.1")
+    }
     val json =
-      s"""{"tier":"sf0.5 (deterministic ${mult}x of sf0.1, all tables)","mult":$mult,""" +
+      s"""{"tier":"$tierName (deterministic ${mult}x of sf0.1, all tables)","mult":$mult,""" +
         s""""main_sf":"$mainDir","timing":"min of $Runs after warm + GC barrier",""" +
         s""""total_sf01":${f3(entries.map(_._2).sum)},"total_tier":${f3(entries.map(_._3).sum)},""" +
         s""""superlinear":${superlinear.mkString("[", ",", "]")},"ops":$opsJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF05.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
     println(json)
