@@ -438,6 +438,76 @@ object Similarity {
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   }
 
+  // --- s7_multiprobe: multi-probe LSH — Hamming-1 probing of s2's bank ----
+  // The recall/memory trade every production LSH deployment makes: instead
+  // of adding hash TABLES to recover near-misses (each table is a full
+  // re-bucketing of the corpus — at 100 TB, another corpus-sized index),
+  // each query also probes the k buckets at Hamming distance 1 from its
+  // home bucket (one sign-bit flip = the near-miss shapes a hyperplane
+  // boundary creates). Candidate volume grows (k+1)×QUERY-side only — the
+  // corpus stays bucketed ONCE in s2's exact layout; at scale the probe
+  // list is a partition-pruned multi-get against the same bucket-partitioned
+  // table, no second index. Probes are generated as a column-level
+  // sequence+transform over the SAME adaptive k that sized the bank, so
+  // the plan stays declarative end-to-end and the oracle replays it
+  // k-generically. Each vector lives in exactly one bucket and the k+1
+  // probe ids are distinct by construction, so no candidate dedup step is
+  // needed. probe_dist (0 = home bucket, 1 = flipped) is kept in the
+  // output: it is the recall-attribution signal an ANN operator reports.
+  def s7Multiprobe(s: SparkSession, dir: String): DataFrame = {
+    val n0 = normed(s, dir)
+    val nRow = n0.groupBy().agg(count(lit(1)).as("n_vec"))
+    val e = n0.crossJoin(broadcast(nRow))
+      .withColumn("k", s2KCol)
+      .withColumn("bucket", bucketCol(col("k")))
+      .drop("n_vec")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"), col("k"),
+              col("emb").as("qe"), col("norm").as("qn"))
+      .withColumn("probe", explode(expr(
+        "concat(array(q_bucket), transform(sequence(0, k - 1)," +
+          " i -> q_bucket ^ shiftleft(CAST(1 AS BIGINT), i)))")))
+      .drop("k")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.drop("k").join(broadcast(q),
+        col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
+      .withColumn("probe_dist",
+        when(col("bucket") === col("q_bucket"), lit(0L)).otherwise(lit(1L)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+              col("probe_dist"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val s7Sql: String =
+    s"""WITH $normedSql,
+       |$s2ParamsSql,
+       |bucketed AS (
+       |  SELECT vec_id, emb, norm,
+       |    CAST(${bucketSqlExpr("emb")} AS BIGINT) AS bucket
+       |  FROM normed, params),
+       |probes AS (
+       |  SELECT q.vec_id AS q_id, q.bucket AS q_bucket, q.emb AS qe, q.norm AS qn,
+       |    unnest(list_prepend(q.bucket,
+       |      list_transform(range(0, k),
+       |        i -> xor(q.bucket, CAST(1 AS BIGINT) << i)))) AS probe
+       |  FROM bucketed q, params WHERE q.vec_id < 5),
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id AS neighbor_id,
+       |    CAST(CASE WHEN e.bucket = p.q_bucket THEN 0 ELSE 1 END AS BIGINT) AS probe_dist,
+       |    ${cosineSql("p.qe", "e.emb", "p.qn", "e.norm")} AS cosine
+       |  FROM probes p JOIN bucketed e
+       |    ON e.bucket = p.probe AND e.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, probe_dist, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT q_id, rnk, neighbor_id, probe_dist, cosine FROM ranked
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_mips_topk" -> (s6MipsTopk _),
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -445,6 +515,7 @@ object Similarity {
     "s3_ivf_ann" -> (s3IvfAnn _),
     "s4_sq_ann" -> (s4SqAnn _),
     "s5_ann_recall" -> (s5AnnRecall _),
+    "s7_multiprobe" -> (s7Multiprobe _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -454,5 +525,6 @@ object Similarity {
     "s3_ivf_ann" -> s3Sql,
     "s4_sq_ann" -> s4Sql,
     "s5_ann_recall" -> s5Sql,
+    "s7_multiprobe" -> s7Sql,
   )
 }

@@ -422,9 +422,126 @@ object Streams {
        |GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  // --- st10_stream_quality_gate: t8's filter at the ingest boundary -------
+  /** t8's one-verdict-per-document quality filter moved to the stream
+    * boundary, completing the gate symmetry — every batch curation gate
+    * now has a stream twin: d9→st7 (decontamination), d8→st8 (mixture),
+    * m5→st9 (sharding), t8→st10 (quality). The verdict is STATELESS:
+    * t2's score is already pure column arithmetic, and t6's TTR / t7's
+    * duplicate-bigram fraction reduce to per-row `array_distinct` counts
+    * over the token / hashed-bigram arrays — the same integers the batch
+    * groupBys produce, so the stream verdict is bit-identical to t8's
+    * (PROVEN against t8 row-for-row in StreamingSpec, not assumed). That
+    * per-row reduction is what makes the gate deployable at ingest: no
+    * shuffle, no state store, replay-deterministic admission. The
+    * admission report — doc/token counts per verdict — is the one
+    * complete-mode rollup the ingest writer watches (documents carry no
+    * event time; st9's shape). The bigram hash is the SAME GenKey u32
+    * t7 fingerprints with, so a (vanishingly rare) in-doc hash collision
+    * biases stream and batch identically instead of opening a gap.
+    */
+  /** Per-document stateless verdict (exposed separately so the spec can
+    * prove it equals t8's batch verdict doc-for-doc, not just in the
+    * aggregated report).
+    */
+  def qualityVerdicts(docs: DataFrame): DataFrame = {
+    val allMarkers = graft.pipeline.TextAnalysis.markers.values.flatten.toSeq.sorted
+    import graft.pipeline.TextAnalysis.{MinQuality, MinTtr, MaxDupBigramFrac}
+    val toks = col("toks")
+    // The per-bigram hash uses the COMPOSED md5/conv built-in form of the
+    // ring hash, not the native GenKey expression: HOF lambdas evaluate
+    // interpreted, and the plan-audit doctrine (PlanAuditSpec) forbids a
+    // native codegen expression being demoted to interpreted eval there.
+    // Same md5-LE-u32 value, so an (astronomically rare) in-doc collision
+    // biases this gate and t7/t8 identically instead of opening a gap.
+    val bigramHashes = expr(
+      "transform(sequence(0, size(toks) - 2), i -> " +
+        graft.arrays.HashRing.sparkGenKey("concat(toks[i], ' ', toks[i+1])") + ")")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_marker", size(filter(toks,
+        t => allMarkers.map(w => t === w).reduce(_ || _))).cast("long"))
+      .withColumn("len_nospace",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("avg_token_len",
+        col("len_nospace").cast("double") / col("n_tokens"))
+      .withColumn("marker_ratio",
+        col("n_marker").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.4 +
+          col("marker_ratio") * 0.3 +
+          least(col("avg_token_len") / 8, lit(1.0)) * 0.3)
+      .withColumn("ttr",
+        size(array_distinct(toks)).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("dup_bigram_frac",
+        when(size(toks) >= 2,
+          (size(bigramHashes) - size(array_distinct(bigramHashes))).cast("double") /
+            size(bigramHashes))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("quality") >= MinQuality && col("ttr") >= MinTtr &&
+          col("dup_bigram_frac") <= MaxDupBigramFrac)
+      .withColumn("reject_reason",
+        when(col("quality") < MinQuality, "low_quality")
+          .when(col("ttr") < MinTtr, "low_diversity")
+          .when(col("dup_bigram_frac") > MaxDupBigramFrac, "repetitive")
+          .otherwise("ok"))
+  }
+
+  def qualityGateTransform(docs: DataFrame): DataFrame =
+    qualityVerdicts(docs)
+      .groupBy("keep", "reject_reason")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"))
+
+  def st10StreamQualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityGateTransform(Tables.documents(s, dir))
+      .orderBy("reject_reason")
+
+  val st10Sql: String = {
+    import graft.pipeline.TextAnalysis.{MinQuality, MinTtr, MaxDupBigramFrac}
+    val allMarkers = graft.pipeline.TextAnalysis.markers.values.flatten.toSeq.sorted
+    val hit = allMarkers.map(w => s"t = '$w'").mkString(" OR ")
+    val h = graft.arrays.HashRing.duckGenKey("(toks[i] || ' ' || toks[i+1])")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> $hit)) AS BIGINT) AS n_marker,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS len_nospace
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, n_tokens,
+       |    LEAST(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4 +
+       |      (CAST(n_marker AS DOUBLE) / n_tokens) * 0.3 +
+       |      LEAST((CAST(len_nospace AS DOUBLE) / n_tokens) / 8, 1.0) * 0.3 AS quality,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) /
+       |      CAST(n_tokens AS DOUBLE) AS ttr,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      CAST(len(list_transform(range(1, len(toks)), i -> $h)) -
+       |           len(list_distinct(list_transform(range(1, len(toks)), i -> $h)))
+       |        AS DOUBLE) / len(list_transform(range(1, len(toks)), i -> $h))
+       |    ELSE 0.0 END AS dup_bigram_frac
+       |  FROM base),
+       |verdicts AS (
+       |  SELECT doc_id, n_tokens,
+       |    quality >= $MinQuality AND ttr >= $MinTtr
+       |      AND dup_bigram_frac <= $MaxDupBigramFrac AS keep,
+       |    CASE WHEN quality < $MinQuality THEN 'low_quality'
+       |         WHEN ttr < $MinTtr THEN 'low_diversity'
+       |         WHEN dup_bigram_frac > $MaxDupBigramFrac THEN 'repetitive'
+       |         ELSE 'ok' END AS reject_reason
+       |  FROM scored)
+       |SELECT keep, reject_reason, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM verdicts GROUP BY 1, 2 ORDER BY reject_reason""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st8_stream_mixture" -> (st8StreamMixture _),
     "st9_stream_shard_router" -> (st9StreamShardRouter _),
+    "st10_stream_quality_gate" -> (st10StreamQualityGate _),
     "st1_stream_window" -> (st1StreamWindow _),
     "st2_stream_dedup" -> (st2StreamDedup _),
     "st3_stream_session" -> (st3StreamSession _),
@@ -437,6 +554,7 @@ object Streams {
   val oracles: Map[String, String] = Map(
     "st8_stream_mixture" -> st8Sql,
     "st9_stream_shard_router" -> st9Sql,
+    "st10_stream_quality_gate" -> st10Sql,
     "st1_stream_window" -> st1Sql,
     "st2_stream_dedup" -> st2Sql,
     "st3_stream_session" -> st3Sql,

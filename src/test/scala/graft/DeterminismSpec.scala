@@ -23,7 +23,9 @@ class DeterminismSpec extends SparkSpec {
     // window prefix sum (t10), df count-distinct (d11), and the full
     // funnel composition (d15)
     "d11_span_dedup", "d12_bloom_decontaminate", "d13_cluster_mixture",
-    "t10_pack_sequences", "d15_curation_funnel")
+    "t10_pack_sequences", "d15_curation_funnel",
+    // round-8: multi-probe LSH (probe explode + window top-k ties)
+    "s7_multiprobe")
 
   test("results are bit-identical across shuffle partition counts") {
     val key = "spark.sql.shuffle.partitions"

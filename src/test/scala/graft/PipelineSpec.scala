@@ -793,4 +793,53 @@ class PipelineSpec extends SparkSpec {
       bucketAt(vecs(qId.toInt), 5) != bucketAt(vecs(qId.toInt), 4)
     }, "no query exercises the 5th plane; corpus seed needs changing")
   }
+
+  test("s7 multi-probe: Hamming<=1 candidates, rank-wise dominance over s2") {
+    // JVM ground truth: recompute every vector's bucket with the operator's
+    // exact fold semantics (double-cast floats, left-to-right accumulation
+    // over the public plane bank at the adaptive k this corpus selects).
+    // Every returned neighbor must sit at Hamming distance probe_dist
+    // (0 = home bucket, 1 = one sign flip) from the query's bucket.
+    val vecs = Similarity.normed(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("emb").toArray)
+      .toMap
+    val q = vecs.size.toLong / Similarity.S2BucketTarget
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(q)
+    val k = math.min(Similarity.S2KMax, math.max(Similarity.S2KMin, bitLen))
+    def bucketOf(v: Array[Double]): Long =
+      (0 until k).map { i =>
+        var acc = 0.0
+        val p = Similarity.planes(i)
+        for (d <- 0 until Similarity.Dims) acc += v(d) * p(d)
+        if (acc > 0) 1L << i else 0L
+      }.sum
+    val bucket = vecs.map { case (id, v) => id -> bucketOf(v) }
+    val s7 = Similarity.s7Multiprobe(spark, sf).collect()
+    assert(s7.nonEmpty, "s7 returned no neighbors")
+    s7.foreach { r =>
+      val ham = java.lang.Long.bitCount(
+        bucket(r.getAs[Long]("q_id")) ^ bucket(r.getAs[Long]("neighbor_id")))
+      assert(ham.toLong == r.getAs[Long]("probe_dist") && ham <= 1,
+        s"neighbor ${r.getAs[Long]("neighbor_id")} at Hamming $ham, " +
+          s"probe_dist ${r.getAs[Long]("probe_dist")}")
+    }
+    // Multi-probe's candidate pool is a strict superset of s2's (the home
+    // bucket is always probed), so at every (q_id, rnk) the s7 cosine must
+    // be >= s2's — the recall-uplift claim as an exact invariant, not a
+    // statistic.
+    val s2 = Similarity.s2LshAnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk")) ->
+        r.getAs[Double]("cosine")).toMap
+    s7.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"))
+      s2.get(key).foreach { c2 =>
+        assert(r.getAs[Double]("cosine") >= c2,
+          s"s7 cosine below s2 at $key: ${r.getAs[Double]("cosine")} < $c2")
+      }
+    }
+    // and the probing must actually surface a flipped-bucket neighbor —
+    // otherwise the dominance check is vacuously equal to s2
+    assert(s7.exists(_.getAs[Long]("probe_dist") == 1L),
+      "no Hamming-1 neighbor in any top-3; corpus makes the test vacuous")
+  }
 }

@@ -296,4 +296,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(0) == 36000L && r.getString(1) == "view"),
       "the watermark-advancing window itself never emitted")
   }
+
+  test("st10: streaming quality gate converges to batch; verdicts equal t8 doc-for-doc") {
+    val docsDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-quality")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents.parquet"))
+      d.toString
+    }
+    val stream = Streams.readDocumentsStream(spark, docsDir)
+    val q = Streams.qualityGateTransform(stream)
+      .writeStream.format("memory").queryName("st10_mem")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st10_mem")
+    val batch = Streams.st10StreamQualityGate(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "streaming admission report != batch admission report")
+    // The gate's stateless per-row verdict must be BIT-IDENTICAL to t8's
+    // batch filter (which computes the same three signals via groupBys):
+    // every doc, same keep flag, same reject reason.
+    val t8 = graft.pipeline.TextAnalysis.t8QualityFilter(spark, sf)
+      .select("doc_id", "keep", "reject_reason").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    val v = Streams.qualityVerdicts(Tables.documents(spark, sf))
+      .select("doc_id", "keep", "reject_reason").collect()
+    assert(v.length == t8.size, s"verdict count ${v.length} != t8 ${t8.size}")
+    v.foreach { r =>
+      assert(t8(r.getLong(0)) == ((r.getBoolean(1), r.getString(2))),
+        s"doc ${r.getLong(0)}: stream verdict ${(r.getBoolean(1), r.getString(2))}" +
+          s" != t8 ${t8(r.getLong(0))}")
+    }
+    // non-vacuity: the corpus must exercise more than one verdict class
+    assert(streamed.count() > 1,
+      "admission report has a single verdict class; the gate test is vacuous")
+  }
 }
