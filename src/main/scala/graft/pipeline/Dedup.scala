@@ -321,23 +321,27 @@ object Dedup {
   // shingle sets on both engines.
   val MaxShingleDf = 10
 
-  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** The shingle-overlap kernel d4 and d16 share: per-pair intersection
+    * size plus both documents' (df-capped) shingle-set sizes — everything
+    * a set-overlap metric (Jaccard, containment, overlap coefficient)
+    * needs. ONE shuffle of the shingle table, by fingerprint, with
+    * BOUNDED memory: rows arrive sorted by (h, doc_id) and a streaming
+    * kernel (same doctrine as d5's bucket verify) walks one shingle-group
+    * at a time, run-length-deduping doc ids and keeping at most cap+1 of
+    * them -- a viral boilerplate shingle overflows the cap and is
+    * dropped WITHOUT ever materializing its doc list (a collect_set
+    * here would buffer all df ids in one aggregation state before any
+    * cap filter could run: the 10^8-doc license-header shingle becomes
+    * an executor OOM). The kernel emits both downstream needs off the
+    * one exchange, as tagged rows --
+    *   kind 0: the group's C(df,2) doc pairs (2 <= df <= cap)
+    *   kind 1: per-doc size contributions (df <= cap, incl. singletons)
+    * This replaces the round-2 shape (distinct + df pre-agg + semi-join
+    * + self-join = three shuffles by the same key) with one shuffle and
+    * O(cap) state. Returns (doc_a, doc_b, inter, na, nb), doc_a < doc_b.
+    */
+  private def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE shuffle of the shingle table, by fingerprint, with BOUNDED
-    // memory: rows arrive sorted by (h, doc_id) and a streaming kernel
-    // (same doctrine as d5's bucket verify) walks one shingle-group at a
-    // time, run-length-deduping doc ids and keeping at most cap+1 of
-    // them -- a viral boilerplate shingle overflows the cap and is
-    // dropped WITHOUT ever materializing its doc list (a collect_set
-    // here would buffer all df ids in one aggregation state before any
-    // cap filter could run: the 10^8-doc license-header shingle becomes
-    // an executor OOM). The kernel emits both downstream needs off the
-    // one exchange, as tagged rows --
-    //   kind 0: the group's C(df,2) doc pairs (2 <= df <= cap)
-    //   kind 1: per-doc size contributions (df <= cap, incl. singletons)
-    // This replaces the round-2 shape (distinct + df pre-agg + semi-join
-    // + self-join = three shuffles by the same key) with one shuffle and
-    // O(cap) state.
     val tagged = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleCol).as("s"))
@@ -378,15 +382,15 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") > 0.3)
-      .select("doc_a", "doc_b", "inter", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
-  val d4Sql: String =
-    s"""WITH $hashedShinglesSql,
+  /** The oracle mirror of [[shingleOverlap]]'s output (relational form:
+    * the hash-mirrored shingle CTE, the df cap as a semi-join, the
+    * self-join intersection). Final CTE `overlap` = (doc_a, doc_b,
+    * inter, na, nb).
+    */
+  private val overlapSql: String =
+    s"""$hashedShinglesSql,
        |sh2 AS (
        |  SELECT doc_id, h FROM hs
        |  WHERE h IN (SELECT h FROM hs GROUP BY h HAVING COUNT(*) <= $MaxShingleDf)),
@@ -394,11 +398,69 @@ object Dedup {
        |inter AS (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS inter
        |  FROM sh2 l JOIN sh2 r ON l.h = r.h AND l.doc_id < r.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2),
+       |overlap AS (
+       |  SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+       |  FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |             JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
+
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    shingleOverlap(s, dir)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") > 0.3)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  val d4Sql: String =
+    s"""WITH $overlapSql
        |SELECT doc_a, doc_b, inter,
-       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-       |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) > 0.3
+       |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+       |FROM overlap
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) > 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- d16_containment_dedup: asymmetric shingle containment --------------
+  // The doc-inside-doc signal symmetric Jaccard is structurally blind to:
+  // when a 50-shingle document is quoted whole inside a 5000-shingle
+  // document, J = 50/5000 = 0.01 — invisible to d4's 0.3 gate — but
+  // containment C(A,B) = |A∩B| / |A| = 1.0. Containment is the metric the
+  // suffix-array / exact-substring dedup literature actually thresholds
+  // (a small doc fully embedded in a big one IS a duplicate of the small
+  // doc), and at corpus scale it is what catches quote farms, scraped
+  // aggregators and template-wrapped reposts. Cost: FREE given d4's
+  // kernel — the same single-shuffle overlap pass already carries
+  // (inter, na, nb); containment is one more pure-column epilogue, so
+  // both metrics share one physical scan at 100 TB. Output keeps both
+  // directed containments, the dominant direction, and a jaccard_blind
+  // flag marking pairs d4's symmetric gate would have missed entirely —
+  // the operator's reason to exist, observable in its own output.
+  val ContainmentThreshold = 0.6
+
+  def d16Containment(s: SparkSession, dir: String): DataFrame =
+    shingleOverlap(s, dir)
+      .withColumn("c_ab", col("inter").cast("double") / col("na"))
+      .withColumn("c_ba", col("inter").cast("double") / col("nb"))
+      .withColumn("containment", greatest(col("c_ab"), col("c_ba")))
+      .withColumn("direction",
+        when(col("c_ab") >= col("c_ba"), lit("a_in_b")).otherwise(lit("b_in_a")))
+      .withColumn("jaccard_blind",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")) <= 0.3)
+      .filter(col("containment") >= ContainmentThreshold)
+      .select("doc_a", "doc_b", "inter", "na", "nb",
+              "containment", "direction", "jaccard_blind")
+      .orderBy("doc_a", "doc_b")
+
+  val d16Sql: String =
+    s"""WITH $overlapSql
+       |SELECT doc_a, doc_b, inter, na, nb,
+       |  GREATEST(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) AS containment,
+       |  CASE WHEN CAST(inter AS DOUBLE) / na >= CAST(inter AS DOUBLE) / nb
+       |       THEN 'a_in_b' ELSE 'b_in_a' END AS direction,
+       |  CAST(inter AS DOUBLE) / (na + nb - inter) <= 0.3 AS jaccard_blind
+       |FROM overlap
+       |WHERE GREATEST(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb)
+       |      >= $ContainmentThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- d5_embed_dedup: embedding-cosine near-dup pairs --------------------
@@ -1311,6 +1373,7 @@ object Dedup {
     "d2_minhash_lsh" -> (d2MinhashLsh _),
     "d3_simhash" -> (d3Simhash _),
     "d4_ngram_jaccard" -> (d4NgramJaccard _),
+    "d16_containment_dedup" -> (d16Containment _),
     "d5_embed_dedup" -> (d5EmbedDedup _),
     "d7_dup_groups" -> (d7DupGroups _),
     "d8_mixture_sample" -> (d8MixtureSample _),
@@ -1329,6 +1392,7 @@ object Dedup {
     "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
+    "d16_containment_dedup" -> d16Sql,
     "d5_embed_dedup" -> d5Sql,
     "d7_dup_groups" -> d7Sql,
     "d8_mixture_sample" -> d8Sql,

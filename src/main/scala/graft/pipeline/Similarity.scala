@@ -508,8 +508,145 @@ object Similarity {
        |SELECT q_id, rnk, neighbor_id, probe_dist, cosine FROM ranked
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  // --- s8_pq_ann: product-quantization ADC retrieval ----------------------
+  // The memory arm the s-family still lacked: s4's scalar quantization
+  // compresses 4-8× but still stores a code PER DIMENSION; product
+  // quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011 — the FAISS IndexPQ architecture) stores
+  // ONE byte per subspace: 64 floats (256 B) become PqM = 8 codes (8 B),
+  // a 32× cut, which is what lets a 100 TB embedding corpus keep its
+  // whole index resident. The scan side ranks candidates WITHOUT ever
+  // touching a raw vector: queries precompute a (PqM × PqK) distance
+  // table to every centroid subvector, and the asymmetric distance of a
+  // corpus vector is PqM table lookups summed — the ADC scan reads only
+  // the 8-byte code arrays, and only the ~PqCandidates winners' raw
+  // vectors are fetched (a broadcast join-back on vec_id) for the exact
+  // cosine re-rank. "Training" is deterministic per the s3 doctrine: the
+  // codebook is the first PqK vectors' subvectors (riding the plan as a
+  // broadcast 1-row aggregate, never a driver collect), so the oracle
+  // replays the exact pipeline. Encode picks argmin_j of
+  // ||c_mj||² − 2·e_m·c_mj (the true-L2² rank with the row-constant
+  // ||e_m||² dropped; first-min wins on ties) — both engines evaluate the
+  // identical IEEE expression via the same left-to-right folds, so codes,
+  // distance tables and ADC sums are bit-exact.
+  val PqM = 8
+  val PqSub: Int = Dims / PqM
+  val PqK = 16
+  val PqCandidates = 20
+
+  /** 1-row broadcast codebook: the first PqK vectors, vec_id-ordered. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    normed(s, dir).filter(col("vec_id") < PqK)
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(vec_id, emb))), x -> x.emb)")
+        .as("cb"))
+
+  /** PQ codes: one argmin per subspace over score ||c_mj||² − 2·e_m·c_mj,
+    * first-min wins — the native fused kernel (one eval per vector; the
+    * HOF formulation of the same folds ran interpreted per lambda step,
+    * ~15× slower on the corpus side). PqImpl.encode's strict-< tie rule
+    * equals the oracle's list_position-of-list_min first match.
+    */
+  private def pqCodes(e: Column, cb: Column): Column =
+    graft.functions.PqEncode(e, cb, PqSub)
+
+  /** Query-side ADC distance table: dtab[m][j] = ||q_m − c_mj||² as a
+    * left-to-right fold over the PqSub dims (query rows only — the
+    * corpus never evaluates this).
+    */
+  private def pqDistTable(qe: Column, cb: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)), m =>
+      transform(sequence(lit(0), lit(PqK - 1)), j => {
+        val c = element_at(cb, j + lit(1))
+        aggregate(sequence(lit(1), lit(PqSub)), lit(0.0), (acc, d) => {
+          val diff = element_at(qe, m * lit(PqSub) + d) -
+            element_at(c, m * lit(PqSub) + d)
+          acc + diff * diff
+        })
+      }))
+
+  /** Asymmetric distance: PqM table lookups folded in subspace order
+    * (native — this runs once per corpus row per query).
+    */
+  private def pqAdc(dtab: Column, codes: Column): Column =
+    graft.functions.PqAdc(dtab, codes)
+
+  def s8PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val cbRow = pqCodebook(s, dir)
+    val enc = e.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), pqCodes(col("emb"), col("cb")).as("codes"))
+    val q = e.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+      .crossJoin(broadcast(cbRow))
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"),
+              pqDistTable(col("emb"), col("cb")).as("dtab"))
+    val wCand = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id"))
+    // the rank exchange moves (q_id, vec_id, adist) triplets ONLY — the
+    // 1 KB distance table and raw query vectors must not ride through
+    // the shuffle (they re-attach from the 5-row broadcast afterwards)
+    val cand = enc.crossJoin(broadcast(q.select("q_id", "dtab")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), pqAdc(col("dtab"), col("codes")).as("adist"))
+      .withColumn("crnk", row_number().over(wCand))
+      .filter(col("crnk") <= PqCandidates)
+      .select("q_id", "vec_id", "adist")
+    // exact re-rank fetches ONLY the candidates' raw vectors (tiny
+    // broadcast side), never the corpus — the ADC scan saw codes alone
+    val wTop = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(cand), "vec_id")
+      .join(broadcast(q.select("q_id", "qe", "qn")), "q_id")
+      .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+              col("adist"), col("cosine"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val s8Sql: String = {
+    def fold(terms: String): String =
+      s"""list_reduce(list_prepend(0.0, $terms), (acc, x) -> acc + x)"""
+    // score(m, j) over alias `emb` — identical parenthesization to pqScore
+    val scoreSql =
+      s"""(${fold(s"list_transform(range(1, ${PqSub + 1}), d -> cb[j+1][m*$PqSub+d] * cb[j+1][m*$PqSub+d])")}
+         | - (2.0 * ${fold(s"list_transform(range(1, ${PqSub + 1}), d -> emb[m*$PqSub+d] * cb[j+1][m*$PqSub+d])")}))""".stripMargin
+    val scoresSql = s"list_transform(range(0, $PqK), j -> $scoreSql)"
+    val dtabSql =
+      s"""list_transform(range(0, $PqM), m -> list_transform(range(0, $PqK), j ->
+         |  ${fold(s"list_transform(range(1, ${PqSub + 1}), d -> (emb[m*$PqSub+d] - cb[j+1][m*$PqSub+d]) * (emb[m*$PqSub+d] - cb[j+1][m*$PqSub+d]))")}))""".stripMargin
+    val adistSql =
+      fold(s"list_transform(range(1, ${PqM + 1}), m -> q.dtab[m][e.codes[m] + 1])")
+    s"""WITH $normedSql,
+       |cbrow AS (
+       |  SELECT list(emb ORDER BY vec_id) AS cb FROM normed WHERE vec_id < $PqK),
+       |enc AS (
+       |  SELECT vec_id, list_transform(range(0, $PqM), m ->
+       |    list_position($scoresSql, list_min($scoresSql)) - 1) AS codes
+       |  FROM normed, cbrow),
+       |q AS (
+       |  SELECT vec_id AS q_id, emb AS qe, norm AS qn, $dtabSql AS dtab
+       |  FROM normed, cbrow
+       |  WHERE vec_id >= 400 AND vec_id < 405),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT q.q_id, e.vec_id, q.qe, q.qn, $adistSql AS adist,
+       |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |                         ORDER BY $adistSql ASC, e.vec_id) AS crnk
+       |    FROM enc e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+       |  WHERE crnk <= $PqCandidates),
+       |ranked AS (
+       |  SELECT c.q_id, c.vec_id AS neighbor_id, c.adist,
+       |    ${cosineSql("c.qe", "n.emb", "c.qn", "n.norm")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY
+       |      ${cosineSql("c.qe", "n.emb", "c.qn", "n.norm")} DESC, c.vec_id) AS rnk
+       |  FROM cand c JOIN normed n ON n.vec_id = c.vec_id)
+       |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist, cosine
+       |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_mips_topk" -> (s6MipsTopk _),
+    "s8_pq_ann" -> (s8PqAnn _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_lsh_ann" -> (s2LshAnn _),
     "s3_ivf_ann" -> (s3IvfAnn _),
@@ -520,6 +657,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s6_mips_topk" -> s6Sql,
+    "s8_pq_ann" -> s8Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql,

@@ -24,8 +24,10 @@ class DeterminismSpec extends SparkSpec {
     // funnel composition (d15)
     "d11_span_dedup", "d12_bloom_decontaminate", "d13_cluster_mixture",
     "t10_pack_sequences", "d15_curation_funnel",
-    // round-8: multi-probe LSH (probe explode + window top-k ties)
-    "s7_multiprobe")
+    // round-8: multi-probe LSH (probe explode + window top-k ties),
+    // PQ encode argmin ties + ADC candidate ranking (s8), shared-kernel
+    // containment epilogue (d16)
+    "s7_multiprobe", "s8_pq_ann", "d16_containment_dedup")
 
   test("results are bit-identical across shuffle partition counts") {
     val key = "spark.sql.shuffle.partitions"

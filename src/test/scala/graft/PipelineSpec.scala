@@ -842,4 +842,118 @@ class PipelineSpec extends SparkSpec {
     assert(s7.exists(_.getAs[Long]("probe_dist") == 1L),
       "no Hamming-1 neighbor in any top-3; corpus makes the test vacuous")
   }
+
+  test("d16 containment: a planted doc-inside-doc pair invisible to d4") {
+    // doc 0 (5 tokens -> 3 shingles) is quoted verbatim at the head of
+    // doc 1 (17 tokens -> 15 shingles): every doc-0 shingle is in doc 1,
+    // so containment = 3/3 = 1.0, while jaccard = 3/15 = 0.2 sits below
+    // d4's 0.3 gate — the operator's reason to exist, as a planted fact.
+    val d = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    import spark.implicits._
+    val small = "a b c d e"
+    val big = small + " " + (1 to 12).map(i => s"f$i").mkString(" ")
+    Seq((0L, small, "en", "src0", 0L), (1L, big, "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(Dedup.d4NgramJaccard(spark, d).count() == 0,
+      "jaccard gate should NOT see the planted pair")
+    val rows = Dedup.d16Containment(spark, d).collect()
+    assert(rows.length == 1, s"expected the planted pair only, got ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L)
+    assert(r.getAs[Long]("inter") == 3L && r.getAs[Long]("na") == 3L &&
+      r.getAs[Long]("nb") == 15L, s"overlap wrong: $r")
+    assert(r.getAs[Double]("containment") == 1.0, s"containment: $r")
+    assert(r.getAs[String]("direction") == "a_in_b", s"direction: $r")
+    assert(r.getAs[Boolean]("jaccard_blind"), s"pair should be jaccard-blind: $r")
+  }
+
+  test("d16 containment matches a JVM df-capped overlap recount at sf0.001") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // ground truth straight from the raw text with the operator's exact
+    // shingle fingerprints and df cap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[Long] = {
+      val t = text.split(" ", -1)
+      val raw = if (t.length >= 3) (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+                else Seq(t.mkString(" "))
+      raw.map(s0 => graft.functions.GenKeyImpl.genKey(UTF8String.fromString(s0))).toSet
+    }
+    val sets = docs.map { case (id, tx) => id -> shingles(tx) }.toMap
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val capped = sets.view.mapValues(_.filter(h => df(h) <= Dedup.MaxShingleDf)).toMap
+    val expected = (for {
+      Seq(a, b) <- capped.keys.toSeq.sorted.combinations(2)
+      inter = (capped(a) & capped(b)).size
+      if inter > 0
+      na = capped(a).size; nb = capped(b).size
+      c = math.max(inter.toDouble / na, inter.toDouble / nb)
+      if c >= Dedup.ContainmentThreshold
+    } yield (a, b) -> (inter.toLong, na.toLong, nb.toLong, c)).toMap
+    val got = Dedup.d16Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+         r.getAs[Double]("containment"))).toMap
+    assert(got == expected,
+      s"pair sets differ: extra=${got.keySet -- expected.keySet} " +
+        s"missing=${expected.keySet -- got.keySet}")
+    assert(got.nonEmpty, "no containment pairs at sf0.001; test is vacuous")
+  }
+
+  test("s8 PQ: codes, ADC candidates and re-rank match a full JVM replay") {
+    val e = Similarity.normed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Double]]("emb").toArray, r.getAs[Double]("norm")))
+      .sortBy(_._1)
+    val cb = e.filter(_._1 < Similarity.PqK).map(_._2)
+    val m = Similarity.PqM; val sub = Similarity.PqSub
+    def codesOf(v: Array[Double]): Array[Int] =
+      Array.tabulate(m) { mm =>
+        val base = mm * sub
+        var bestS = Double.PositiveInfinity; var bestJ = 0
+        cb.indices.foreach { j =>
+          var ssq = 0.0; var dot = 0.0
+          (0 until sub).foreach { d => val cd = cb(j)(base + d); ssq += cd * cd }
+          (0 until sub).foreach { d => dot += v(base + d) * cb(j)(base + d) }
+          val score = ssq - 2.0 * dot
+          if (score < bestS) { bestS = score; bestJ = j }
+        }
+        bestJ
+      }
+    def dtabOf(q: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(m) { mm =>
+        cb.map { c =>
+          var acc = 0.0
+          (0 until sub).foreach { d =>
+            val diff = q(mm * sub + d) - c(mm * sub + d); acc += diff * diff
+          }
+          acc
+        }
+      }
+    val allCodes = e.map { case (id, v, _) => id -> codesOf(v) }.toMap
+    val got = Similarity.s8PqAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Double]("adist"), r.getAs[Double]("cosine"))).toMap
+    (400L until 405L).foreach { qid =>
+      val (_, qe, qn) = e.find(_._1 == qid).get
+      val dtab = dtabOf(qe)
+      val cands = e.filter(_._1 != qid).map { case (id, _, _) =>
+        var acc = 0.0
+        (0 until m).foreach { mm => acc += dtab(mm)(allCodes(id)(mm)) }
+        (id, acc)
+      }.sortBy { case (id, a) => (a, id) }.take(Similarity.PqCandidates)
+      val reranked = cands.map { case (id, a) =>
+        val (_, v, n) = e.find(_._1 == id).get
+        var dot = 0.0
+        v.indices.foreach(i => dot += qe(i) * v(i))
+        (id, a, dot / (qn * n))
+      }.sortBy { case (id, _, c) => (-c, id) }.take(3)
+      reranked.zipWithIndex.foreach { case ((id, a, c), i) =>
+        assert(got((qid, i + 1L)) == ((id, a, c)),
+          s"q$qid rnk ${i + 1}: got ${got((qid, i + 1L))}, expected ${(id, a, c)}")
+      }
+    }
+    assert(got.size == 15, s"expected 5 queries x top-3, got ${got.size} rows")
+  }
 }

@@ -161,7 +161,7 @@ class PlanAuditSpec extends SparkSpec {
     // the big side shuffles — a silent 100 TB regression.
     val expectBroadcast = Seq("d9_decontaminate", "t5_top_terms",
       "t9_rarity_score", "s1_knn_brute", "s2_lsh_ann", "s3_ivf_ann",
-      "s4_sq_ann", "s5_ann_recall", "s7_multiprobe",
+      "s4_sq_ann", "s5_ann_recall", "s7_multiprobe", "s8_pq_ann",
       "st7_stream_decontaminate",
       "d11_span_dedup", "d12_bloom_decontaminate", "d13_cluster_mixture",
       "d15_curation_funnel")
