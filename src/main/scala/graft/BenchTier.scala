@@ -47,13 +47,16 @@ object BenchTier {
     // two-array combine + one-array coarsen (must stay flat)
     "a1_grid_build", "a19_list_collections", "a25_array_combine",
     "a26_array_coarsen",
-    // dedup/decontamination pipeline
-    "d2_minhash_lsh", "d4_ngram_jaccard", "d5_embed_dedup",
+    // dedup/decontamination pipeline (d16 rides d4's kernel — its tier
+    // exponent proves the shared-scan claim, not just the sf0.1 timing)
+    "d2_minhash_lsh", "d4_ngram_jaccard", "d16_containment_dedup",
+    "d5_embed_dedup",
     "d7_dup_groups", "d9_decontaminate", "d12_bloom_decontaminate",
     "d15_curation_funnel",
     // similarity, text, multimodal (m1/m3 exercise the real P6 decode
     // path — codec cost must scale linearly with the corpus), streaming
-    "s1_knn_brute", "s3_ivf_ann", "t5_top_terms", "t9_rarity_score",
+    "s1_knn_brute", "s3_ivf_ann", "s8_pq_ann", "t5_top_terms",
+    "t9_rarity_score",
     "m1_multimodal", "m3_resize", "m4_feature_extract",
     "st7_stream_decontaminate")
 

@@ -541,6 +541,16 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(vec_id, emb))), x -> x.emb)")
         .as("cb"))
 
+  /** Test surface: the codebook vectors' own codes — each must
+    * self-encode to its own index in every subspace (its true distance
+    * to itself is 0, the unique minimum for distinct centroids).
+    */
+  def s8SelfEncode(s: SparkSession, dir: String): DataFrame =
+    normed(s, dir).filter(col("vec_id") < PqK)
+      .crossJoin(broadcast(pqCodebook(s, dir)))
+      .select(col("vec_id"), pqCodes(col("emb"), col("cb")).as("codes"))
+      .orderBy("vec_id")
+
   /** PQ codes: one argmin per subspace over score ||c_mj||² − 2·e_m·c_mj,
     * first-min wins — the native fused kernel (one eval per vector; the
     * HOF formulation of the same folds ran interpreted per lambda step,

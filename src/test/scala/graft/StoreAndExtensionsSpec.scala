@@ -343,4 +343,59 @@ class StoreAndExtensionsSpec extends SparkSpec {
       .withColumn("h_composed", expr(HashRing.sparkGenKey("k")))
     assert(df.filter(col("h_native") =!= col("h_composed")).count() == 0)
   }
+
+  test("PQ kernels: self-encode identity, malformed inputs raise, wrong types fail analysis") {
+    import graft.functions.{PqAdc, PqEncode}
+    import graft.pipeline.Similarity
+    // a codebook vector's true distance to itself is 0 in every subspace,
+    // so each of the first PqK vectors must encode to its own index in
+    // ALL PqM subspaces (strict-< argmin; the synthetic vectors are
+    // distinct, so no ties)
+    val self = Similarity.s8SelfEncode(spark, sf).collect()
+    assert(self.length == Similarity.PqK, s"expected PqK rows, got ${self.length}")
+    self.foreach { r =>
+      val id = r.getLong(0)
+      val codes = r.getSeq[Long](1)
+      assert(codes == Seq.fill(Similarity.PqM)(id),
+        s"centroid $id did not self-encode: $codes")
+    }
+    // runtime validation: empty codebook and out-of-range code raise
+    // typed errors instead of emitting garbage codes / reading past the
+    // table (the DotProduct doctrine one level up)
+    val emptyCb = spark.range(1)
+      .withColumn("e", expr("array(1.0d, 2.0d)"))
+      .withColumn("cb", expr("CAST(array() AS ARRAY<ARRAY<DOUBLE>>)"))
+      .withColumn("c", PqEncode(col("e"), col("cb"), 1))
+    val e1 = intercept[Exception](emptyCb.collect())
+    def msgHas(e: Throwable, s: String): Boolean =
+      Option(e.getMessage).exists(_.contains(s)) ||
+        Option(e.getCause).exists(c => Option(c.getMessage).exists(_.contains(s)))
+    assert(msgHas(e1, "empty codebook"), s"expected empty-codebook error: ${e1.getMessage}")
+    val badCode = spark.range(1)
+      .withColumn("dtab", expr("array(array(1.0d, 2.0d))"))
+      .withColumn("codes", expr("array(CAST(7 AS BIGINT))"))
+      .withColumn("d", PqAdc(col("dtab"), col("codes")))
+    val e2 = intercept[Exception](badCode.collect())
+    assert(msgHas(e2, "out of range"), s"expected out-of-range error: ${e2.getMessage}")
+    // wrong dims (not a multiple of the subspace width) raises
+    val badDims = spark.range(1)
+      .withColumn("e", expr("array(1.0d, 2.0d, 3.0d)"))
+      .withColumn("cb", expr("array(array(1.0d, 2.0d, 3.0d))"))
+      .withColumn("c", PqEncode(col("e"), col("cb"), 2))
+    val e3 = intercept[Exception](badDims.collect())
+    assert(msgHas(e3, "not a multiple"), s"expected dims error: ${e3.getMessage}")
+    // type mismatches are rejected at analysis, not executor-side
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.range(1)
+        .withColumn("e", expr("array(1, 2)"))
+        .withColumn("cb", expr("array(array(1.0d, 2.0d))"))
+        .withColumn("c", PqEncode(col("e"), col("cb"), 1)).collect()
+    }
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.range(1)
+        .withColumn("dtab", expr("array(1.0d)"))
+        .withColumn("codes", expr("array(CAST(0 AS BIGINT))"))
+        .withColumn("d", PqAdc(col("dtab"), col("codes"))).collect()
+    }
+  }
 }
