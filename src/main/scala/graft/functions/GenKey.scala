@@ -48,3 +48,67 @@ case class GenKey(child: Expression) extends UnaryExpression {
 object GenKey {
   def apply(c: Column): Column = GraftShim.column(GenKey(GraftShim.expression(c)))
 }
+
+/** Adjacent-bigram ring-hash fingerprints of a token array:
+  * out[i] = genKey(toks[i] + " " + toks[i+1]), empty for fewer than two
+  * tokens. One codegen'd call per ROW where the HOF formulation
+  * (transform + the composed md5/conv ring hash) evaluated interpreted
+  * per bigram — the t4 RollingFingerprint lesson applied to st10's
+  * stream-boundary quality gate, whose dup-bigram count must use THE
+  * SAME u32 bigram keys as t7/t8 so a (vanishingly rare) in-doc hash
+  * collision biases stream and batch identically.
+  */
+object BigramKeysImpl {
+  private val Space = UTF8String.fromString(" ")
+
+  def keys(toks: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val out = new Array[Long](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      if (toks.isNullAt(i) || toks.isNullAt(i + 1))
+        throw new IllegalArgumentException(
+          s"graft_bigram_keys: null token at index $i (token arrays must be null-free)")
+      out(i) = GenKeyImpl.genKey(UTF8String.concat(
+        toks.getUTF8String(i), Space, toks.getUTF8String(i + 1)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class BigramKeys(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bigram_keys"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${t.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramKeysImpl.keys(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BigramKeysImpl.keys($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramKeys =
+    copy(child = newChild)
+}
+
+object BigramKeys {
+  def apply(c: Column): Column =
+    GraftShim.column(BigramKeys(GraftShim.expression(c)))
+}

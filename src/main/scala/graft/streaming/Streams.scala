@@ -448,15 +448,16 @@ object Streams {
     val allMarkers = graft.pipeline.TextAnalysis.markers.values.flatten.toSeq.sorted
     import graft.pipeline.TextAnalysis.{MinQuality, MinTtr, MaxDupBigramFrac}
     val toks = col("toks")
-    // The per-bigram hash uses the COMPOSED md5/conv built-in form of the
-    // ring hash, not the native GenKey expression: HOF lambdas evaluate
-    // interpreted, and the plan-audit doctrine (PlanAuditSpec) forbids a
-    // native codegen expression being demoted to interpreted eval there.
-    // Same md5-LE-u32 value, so an (astronomically rare) in-doc collision
-    // biases this gate and t7/t8 identically instead of opening a gap.
-    val bigramHashes = expr(
-      "transform(sequence(0, size(toks) - 2), i -> " +
-        graft.arrays.HashRing.sparkGenKey("concat(toks[i], ' ', toks[i+1])") + ")")
+    // Per-bigram hashes via the native fused BigramKeys expression — one
+    // codegen call per row. (The first version used the composed
+    // md5/conv ring hash inside a transform() lambda, which evaluates
+    // interpreted PER BIGRAM: at sf0.1 that made this stateless gate the
+    // single slowest op in the whole bench, 2.5 s vs 0.4 s fused — the
+    // t4 RollingFingerprint lesson again.) Same md5-LE-u32 values as
+    // t7/t8's GenKey, so an (astronomically rare) in-doc collision
+    // biases this gate and the batch ops identically instead of opening
+    // a gap.
+    val bigramHashes = graft.functions.BigramKeys(toks)
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(toks).cast("long"))

@@ -344,6 +344,29 @@ class StoreAndExtensionsSpec extends SparkSpec {
     assert(df.filter(col("h_native") =!= col("h_composed")).count() == 0)
   }
 
+  test("BigramKeys native equals the composed HOF form on real documents") {
+    // the fused per-row kernel must produce byte-identical fingerprint
+    // arrays to the transform() + composed md5/conv form it replaced in
+    // st10 (and to t7's exploded GenKey, transitively — same u32)
+    val composed = expr(
+      "transform(sequence(0, size(toks) - 2), i -> " +
+        HashRing.sparkGenKey("concat(toks[i], ' ', toks[i+1])") + ")")
+    val df = Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("native", graft.functions.BigramKeys(col("toks")))
+      .withColumn("hof", composed)
+    assert(df.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // sub-2-token arrays yield an empty key array, not an error
+    val tiny = spark.range(1).withColumn("toks", expr("array('only')"))
+      .select(graft.functions.BigramKeys(col("toks")).as("k")).collect()
+    assert(tiny(0).getSeq[Long](0).isEmpty)
+    // wrong input type fails analysis
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).withColumn("k",
+        graft.functions.BigramKeys(col("id"))).collect()
+    }
+  }
+
   test("PQ kernels: self-encode identity, malformed inputs raise, wrong types fail analysis") {
     import graft.functions.{PqAdc, PqEncode}
     import graft.pipeline.Similarity
