@@ -50,13 +50,19 @@ object GenKey {
 }
 
 /** Adjacent-bigram ring-hash fingerprints of a token array:
-  * out[i] = genKey(toks[i] + " " + toks[i+1]), empty for fewer than two
-  * tokens. One codegen'd call per ROW where the HOF formulation
-  * (transform + the composed md5/conv ring hash) evaluated interpreted
-  * per bigram — the t4 RollingFingerprint lesson applied to st10's
-  * stream-boundary quality gate, whose dup-bigram count must use THE
-  * SAME u32 bigram keys as t7/t8 so a (vanishingly rare) in-doc hash
-  * collision biases stream and batch identically.
+  * out[i] = genKey(toks[i] + " " + toks[i+1]). One codegen'd call per
+  * ROW where the HOF formulation (transform + the composed md5/conv
+  * ring hash) evaluated interpreted per bigram — the t4
+  * RollingFingerprint lesson applied to st10's stream-boundary quality
+  * gate, whose dup-bigram count must use THE SAME u32 bigram keys as
+  * t7/t8 so a (vanishingly rare) in-doc hash collision biases stream
+  * and batch identically. Equivalence to the composed form holds for
+  * arrays of >= 2 tokens; below that this kernel returns the EMPTY
+  * array (the useful semantics) where the composed
+  * transform(sequence(0, size-2), ...) form degenerates — Spark's
+  * sequence(0, -1) descends to [0, -1] and the lambda emits nulls —
+  * so callers on unguarded short docs must use this kernel, not the
+  * HOF.
   */
 object BigramKeysImpl {
   private val Space = UTF8String.fromString(" ")
@@ -72,7 +78,8 @@ object BigramKeysImpl {
     while (i < n - 1) {
       if (toks.isNullAt(i) || toks.isNullAt(i + 1))
         throw new IllegalArgumentException(
-          s"graft_bigram_keys: null token at index $i (token arrays must be null-free)")
+          "graft_bigram_keys: null token at index " +
+            s"${if (toks.isNullAt(i)) i else i + 1} (token arrays must be null-free)")
       out(i) = GenKeyImpl.genKey(UTF8String.concat(
         toks.getUTF8String(i), Space, toks.getUTF8String(i + 1)))
       i += 1

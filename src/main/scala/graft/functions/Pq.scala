@@ -54,7 +54,12 @@ object PqImpl {
         var ssq = 0.0
         var dot = 0.0
         var d = 0
-        while (d < sub) { val cd = c.getDouble(base + d); ssq += cd * cd; d += 1 }
+        while (d < sub) {
+          if (c.isNullAt(base + d) || emb.isNullAt(base + d))
+            bad("graft_pq_encode", s"null element at dim ${base + d} " +
+              "(vectors and centroids must be null-free)")
+          val cd = c.getDouble(base + d); ssq += cd * cd; d += 1
+        }
         d = 0
         while (d < sub) { dot += emb.getDouble(base + d) * c.getDouble(base + d); d += 1 }
         val score = ssq - 2.0 * dot
@@ -77,10 +82,14 @@ object PqImpl {
     var acc = 0.0
     var mm = 0
     while (mm < m) {
+      if (dtab.isNullAt(mm) || codes.isNullAt(mm))
+        bad("graft_pq_adc", s"null table row or code at subspace $mm")
       val row = dtab.getArray(mm)
       val code = codes.getLong(mm)
       if (code < 0 || code >= row.numElements())
         bad("graft_pq_adc", s"code $code out of range for subspace $mm (${row.numElements()} centroids)")
+      if (row.isNullAt(code.toInt))
+        bad("graft_pq_adc", s"null distance at subspace $mm, code $code")
       acc += row.getDouble(code.toInt)
       mm += 1
     }

@@ -428,10 +428,13 @@ object Dedup {
   // suffix-array / exact-substring dedup literature actually thresholds
   // (a small doc fully embedded in a big one IS a duplicate of the small
   // doc), and at corpus scale it is what catches quote farms, scraped
-  // aggregators and template-wrapped reposts. Cost: FREE given d4's
-  // kernel — the same single-shuffle overlap pass already carries
-  // (inter, na, nb); containment is one more pure-column epilogue, so
-  // both metrics share one physical scan at 100 TB. Output keeps both
+  // aggregators and template-wrapped reposts. Cost: FREE given the
+  // overlap pass — the same single-shuffle kernel already carries
+  // (inter, na, nb) and containment is one more pure-column epilogue.
+  // (As standalone queries d4 and d16 each run their own overlap pass;
+  // a deployment wanting both metrics composes both epilogues over ONE
+  // shingleOverlap — the kernel output feeds either for free — rather
+  // than running the two operators back to back.) Output keeps both
   // directed containments, the dominant direction, and a jaccard_blind
   // flag marking pairs d4's symmetric gate would have missed entirely —
   // the operator's reason to exist, observable in its own output.

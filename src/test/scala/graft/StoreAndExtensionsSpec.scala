@@ -347,15 +347,20 @@ class StoreAndExtensionsSpec extends SparkSpec {
   test("BigramKeys native equals the composed HOF form on real documents") {
     // the fused per-row kernel must produce byte-identical fingerprint
     // arrays to the transform() + composed md5/conv form it replaced in
-    // st10 (and to t7's exploded GenKey, transitively — same u32)
+    // st10 (and to t7's exploded GenKey, transitively — same u32).
+    // Scope: >= 2 tokens — on shorter arrays the composed form
+    // degenerates (sequence(0, -1) = [0, -1] -> null lambda outputs),
+    // which is exactly why short docs get the kernel's [] instead.
     val composed = expr(
       "transform(sequence(0, size(toks) - 2), i -> " +
         HashRing.sparkGenKey("concat(toks[i], ' ', toks[i+1])") + ")")
     val df = Tables.documents(spark, sf)
       .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
       .withColumn("native", graft.functions.BigramKeys(col("toks")))
       .withColumn("hof", composed)
-    assert(df.filter(not(col("native") <=> col("hof"))).count() == 0)
+    assert(df.count() > 0 &&
+      df.filter(not(col("native") <=> col("hof"))).count() == 0)
     // sub-2-token arrays yield an empty key array, not an error
     val tiny = spark.range(1).withColumn("toks", expr("array('only')"))
       .select(graft.functions.BigramKeys(col("toks")).as("k")).collect()
