@@ -173,4 +173,78 @@ object GraftProperties extends Properties("graft") {
     val idxOk = ordered.map(_.sess_idx) == (1L to ordered.size).toList
     internalOk && betweenOk && idxOk
   }
+
+  // --- PQ / bigram kernels (JVM-level, no Spark session) ------------------
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val tokGen: Gen[List[String]] =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+
+  property("bigram.keysMatchPerPairGenKey") = Prop.forAll(tokGen) { toks =>
+    val arr = new GenericArrayData(
+      toks.map(t => UTF8String.fromString(t): Any).toArray)
+    val got = graft.functions.BigramKeysImpl.keys(arr)
+    val expected = toks.zip(toks.drop(1)).map { case (a, b) =>
+      graft.functions.GenKeyImpl.genKey(UTF8String.fromString(s"$a $b"))
+    }
+    got.numElements() == math.max(0, toks.size - 1) &&
+      (0 until got.numElements()).forall(i => got.getLong(i) == expected(i))
+  }
+
+  private val pqSub = 4
+  private val vecGen: Gen[Array[Double]] =
+    Gen.listOfN(pqSub * 2, Gen.chooseNum(-8.0, 8.0)).map(_.toArray)
+  private val cbGen: Gen[List[Array[Double]]] =
+    Gen.nonEmptyListOf(vecGen).map(_.take(8))
+
+  property("pq.encodePicksTheScoreArgminPerSubspace") =
+    Prop.forAll(vecGen, cbGen) { (v, cb) =>
+      val cbArr = new GenericArrayData(
+        cb.map(c => new GenericArrayData(c): Any).toArray)
+      val codes = graft.functions.PqImpl.encode(
+        new GenericArrayData(v), cbArr, pqSub)
+      // reference model: per subspace, the first centroid index whose
+      // score ||c_m||^2 - 2 v_m . c_m  is minimal (same fold order)
+      (0 until v.length / pqSub).forall { mm =>
+        val base = mm * pqSub
+        val scores = cb.map { c =>
+          var ssq = 0.0; var dot = 0.0
+          (0 until pqSub).foreach { d => ssq += c(base + d) * c(base + d) }
+          (0 until pqSub).foreach { d => dot += v(base + d) * c(base + d) }
+          ssq - 2.0 * dot
+        }
+        codes.getLong(mm) == scores.indexOf(scores.min).toLong
+      }
+    }
+
+  property("pq.adcIsTheCodeIndexedFoldAndNonNegativeOnTrueDistances") =
+    Prop.forAll(vecGen, cbGen) { (v, cb) =>
+      val cbArr = new GenericArrayData(
+        cb.map(c => new GenericArrayData(c): Any).toArray)
+      val codes = graft.functions.PqImpl.encode(
+        new GenericArrayData(v), cbArr, pqSub)
+      val m = v.length / pqSub
+      // true per-subspace squared distances as the table
+      val dtab = Array.tabulate(m) { mm =>
+        cb.map { c =>
+          var acc = 0.0
+          (0 until pqSub).foreach { d =>
+            val diff = v(mm * pqSub + d) - c(mm * pqSub + d); acc += diff * diff
+          }
+          acc
+        }.toArray
+      }
+      val adc = graft.functions.PqImpl.adc(
+        new GenericArrayData(dtab.map(r => new GenericArrayData(r): Any)),
+        codes)
+      val direct = (0 until m).foldLeft(0.0) { (acc, mm) =>
+        acc + dtab(mm)(codes.getLong(mm).toInt)
+      }
+      // argmin optimality transfers: ADC over encoded codes is the
+      // minimal table sum over ANY code assignment (tiny slack: encode
+      // ranks by the ||v_m||^2-shifted score, IEEE can collapse ties)
+      val minSum = (0 until m).foldLeft(0.0) { (acc, mm) => acc + dtab(mm).min }
+      adc == direct && adc >= 0.0 && adc <= minSum + 1e-9 * m
+    }
 }
