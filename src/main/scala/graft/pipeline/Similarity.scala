@@ -392,6 +392,120 @@ object Similarity {
        |LEFT JOIN approx a ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
 
+  // --- s9_recall_matrix: continuous evaluation across ALL index arms ------
+  // s5 evaluates the LSH arm; a production ANN platform evaluates EVERY
+  // index architecture it serves, continuously, on each arm's own query
+  // sample — the dashboard that catches a quietly-degrading index (drift,
+  // a bad codebook, an unlucky plane bank) before users do. One operator:
+  // per arm, exact brute-force top-RecallK ground truth on THAT arm's
+  // query range, hit-join against the arm's served top-k, then ONE
+  // micro-averaged recall per arm — aggregated as exact long counts
+  // (sum(hits)/sum(k) in one final IEEE division; never a float mean, so
+  // no sum-order nondeterminism). All five arms compose as distributed
+  // sub-plans off the same scan lineage; the hit-joins touch only the
+  // tiny per-query result sets, and at 100 TB each arm broadcasts its
+  // query sample exactly as it does when serving.
+  val RecallArms: Seq[(String, Long, Long)] = Seq(
+    ("s2_lsh", 0L, 5L), ("s3_ivf", 100L, 105L), ("s4_sq", 200L, 205L),
+    ("s7_multiprobe", 0L, 5L), ("s8_pq", 400L, 405L))
+
+  /** The union-of-ranges query predicate all arms' ground truth shares. */
+  private def armRangesPred(c: Column): Column =
+    RecallArms.map { case (_, lo, hi) => c >= lo && c < hi }.reduce(_ || _)
+
+  /** Exact top-RecallK cosine ground truth for ALL arms' query ranges in
+    * ONE brute pass; s9RecallMatrix holds exactly one instance of this
+    * subtree in its plan.
+    */
+  private def bruteTopKAll(s: SparkSession, dir: String): DataFrame = {
+    val e = normed(s, dir)
+    val q = e.filter(armRangesPred(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= RecallK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  private def bruteTopKAllSql: String = {
+    val pred = RecallArms
+      .map { case (_, lo, hi) => s"(q.vec_id >= $lo AND q.vec_id < $hi)" }
+      .mkString(" OR ")
+    s"""SELECT q_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${cosineSql("q.emb", "e.emb", "q.norm", "e.norm")} DESC, e.vec_id) AS rnk
+       |  FROM normed q JOIN normed e ON e.vec_id <> q.vec_id
+       |  WHERE $pred)
+       |WHERE rnk <= $RecallK""".stripMargin
+  }
+
+  def s9RecallMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ONE exact subtree in the whole plan: exact rows replicate to their
+    // arm(s) through a broadcast 5-row arm table, the five SERVED
+    // sub-plans union into one tagged side, and a single hit-join scores
+    // every arm. (Per-arm copies of the brute subtree re-ran the
+    // crossJoin+rank per arm — a range filter on the window's partition
+    // key pushes below the window and defeats exchange-level subtree
+    // reuse; the tagged form measured 3.99 s → 1.23 s at sf0.1.)
+    val armTable = broadcast(RecallArms.toDF("index", "lo", "hi"))
+    val exactTagged = bruteTopKAll(s, dir)
+      .join(armTable, col("q_id") >= col("lo") && col("q_id") < col("hi"))
+      .select("index", "q_id", "neighbor_id")
+    val servedAll = Seq[(String, DataFrame)](
+      ("s2_lsh", s2LshAnn(s, dir)), ("s3_ivf", s3IvfAnn(s, dir)),
+      ("s4_sq", s4SqAnn(s, dir)), ("s7_multiprobe", s7Multiprobe(s, dir)),
+      ("s8_pq", s8PqAnn(s, dir)))
+      .map { case (name, served) =>
+        served.filter(col("rnk") <= RecallK)
+          .select(lit(name).as("index"), col("q_id"), col("neighbor_id"),
+                  lit(1L).as("hit"))
+      }.reduce(_ unionAll _)
+    exactTagged.join(servedAll, Seq("index", "q_id", "neighbor_id"), "left")
+      .groupBy("index")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+           count(lit(1)).as("k_total"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("k_total").cast("double"))
+      .select("index", "n_queries", "k_total", "n_hit", "recall")
+      .orderBy("index")
+  }
+
+  lazy val s9Sql: String = {
+    val armSqls = Seq(
+      ("s2_lsh", s2Sql), ("s3_ivf", s3Sql), ("s4_sq", s4Sql),
+      ("s7_multiprobe", s7Sql), ("s8_pq", s8Sql))
+    val armValues = RecallArms
+      .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    val servedUnion = armSqls.map { case (name, served) =>
+      s"""SELECT '$name' AS index, q_id, neighbor_id
+         |FROM ($served) WHERE rnk <= $RecallK""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $normedSql,
+       |exact AS ($bruteTopKAllSql),
+       |arms(index, lo, hi) AS (VALUES $armValues),
+       |tagged AS (
+       |  SELECT a.index, e.q_id, e.neighbor_id
+       |  FROM exact e JOIN arms a ON e.q_id >= a.lo AND e.q_id < a.hi),
+       |served AS (
+       |$servedUnion
+       |)
+       |SELECT t.index, CAST(COUNT(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+       |  COUNT(*) AS k_total,
+       |  CAST(SUM(CASE WHEN sv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN sv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM tagged t LEFT JOIN served sv
+       |  ON sv.index = t.index AND sv.q_id = t.q_id
+       |  AND sv.neighbor_id = t.neighbor_id
+       |GROUP BY t.index ORDER BY t.index""".stripMargin
+  }
+
   // --- s6_mips_topk: max-inner-product retrieval --------------------------
   // The retrieval scoring the cosine family doesn't cover: recommendation
   // and two-tower models rank by the RAW dot product (magnitude carries
@@ -657,6 +771,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_mips_topk" -> (s6MipsTopk _),
     "s8_pq_ann" -> (s8PqAnn _),
+    "s9_recall_matrix" -> (s9RecallMatrix _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_lsh_ann" -> (s2LshAnn _),
     "s3_ivf_ann" -> (s3IvfAnn _),
@@ -668,6 +783,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s6_mips_topk" -> s6Sql,
     "s8_pq_ann" -> s8Sql,
+    "s9_recall_matrix" -> s9Sql,
     "s1_knn_brute" -> s1Sql,
     "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql,

@@ -27,7 +27,8 @@ class DeterminismSpec extends SparkSpec {
     // round-8: multi-probe LSH (probe explode + window top-k ties),
     // PQ encode argmin ties + ADC candidate ranking (s8), shared-kernel
     // containment epilogue (d16)
-    "s7_multiprobe", "s8_pq_ann", "d16_containment_dedup")
+    "s7_multiprobe", "s8_pq_ann", "d16_containment_dedup",
+    "s9_recall_matrix")
 
   test("results are bit-identical across shuffle partition counts") {
     val key = "spark.sql.shuffle.partitions"

@@ -843,6 +843,31 @@ class PipelineSpec extends SparkSpec {
       "no Hamming-1 neighbor in any top-3; corpus makes the test vacuous")
   }
 
+  test("s9 recall matrix: k accounting, s5 agreement, multiprobe dominance") {
+    val rows = Similarity.s9RecallMatrix(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.keySet ==
+      Set("s2_lsh", "s3_ivf", "s4_sq", "s7_multiprobe", "s8_pq"))
+    rows.foreach { case (n, (nq, k, h, rec)) =>
+      assert(nq == 5 && k == nq * Similarity.RecallK,
+        s"$n k accounting: $nq queries, $k slots")
+      assert(h >= 0 && h <= k && rec == h.toDouble / k,
+        s"$n recall not the exact hit fraction: $h/$k vs $rec")
+    }
+    // the s2 arm must micro-average exactly to s5's per-query recall rows
+    val s5rows = Similarity.s5AnnRecall(spark, sf).collect()
+    val hk = s5rows.map(_.getAs[Long]("n_hit")).sum
+    val kk = s5rows.map(_.getAs[Long]("k")).sum
+    assert(rows("s2_lsh")._3 == hk && rows("s2_lsh")._2 == kk,
+      s"s9's s2 arm (${rows("s2_lsh")}) disagrees with s5 ($hk/$kk)")
+    // a superset candidate pool can only help: every exact-top-k member
+    // present in a pool ranks above all non-members, so recall is
+    // monotone in the pool — s7 ⊇ s2 must hold in the measured matrix
+    assert(rows("s7_multiprobe")._4 >= rows("s2_lsh")._4,
+      s"multiprobe recall below s2: ${rows("s7_multiprobe")} < ${rows("s2_lsh")}")
+  }
+
   test("d16 containment: a planted doc-inside-doc pair invisible to d4") {
     // doc 0 (5 tokens -> 3 shingles) is quoted verbatim at the head of
     // doc 1 (17 tokens -> 15 shingles): every doc-0 shingle is in doc 1,

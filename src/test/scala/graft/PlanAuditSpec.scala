@@ -162,6 +162,7 @@ class PlanAuditSpec extends SparkSpec {
     val expectBroadcast = Seq("d9_decontaminate", "t5_top_terms",
       "t9_rarity_score", "s1_knn_brute", "s2_lsh_ann", "s3_ivf_ann",
       "s4_sq_ann", "s5_ann_recall", "s7_multiprobe", "s8_pq_ann",
+      "s9_recall_matrix",
       "st7_stream_decontaminate",
       "d11_span_dedup", "d12_bloom_decontaminate", "d13_cluster_mixture",
       "d15_curation_funnel")
