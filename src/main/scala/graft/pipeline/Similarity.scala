@@ -465,7 +465,11 @@ object Similarity {
           .select(lit(name).as("index"), col("q_id"), col("neighbor_id"),
                   lit(1L).as("hit"))
       }.reduce(_ unionAll _)
-    exactTagged.join(servedAll, Seq("index", "q_id", "neighbor_id"), "left")
+    // the served side is BOUNDED by construction (5 arms × 5-query
+    // samples × rnk ≤ RecallK = ≤ 75 rows at any corpus size), so the
+    // pinned hint is §5-legitimate — and needed: the hit-join sits above
+    // two freshly-shuffled unions and came out a SortMergeJoin
+    exactTagged.join(broadcast(servedAll), Seq("index", "q_id", "neighbor_id"), "left")
       .groupBy("index")
       .agg(countDistinct(col("q_id")).as("n_queries"),
            count(lit(1)).as("k_total"),
