@@ -41,6 +41,34 @@ object Similarity {
 
   val Dims = 64
 
+  /** Served top-k of every approximate arm (s2/s3/s4/s6/s7/s8): each arm
+    * reports its `ArmTopK` best neighbors. `RecallK` (the recall
+    * evaluation depth of s5/s9) is DEFINED as this value, so the exact
+    * side of a recall join can never ask for more slots than the arms
+    * serve — raising the evaluation depth means raising the serving
+    * depth, one constant.
+    */
+  val ArmTopK = 3
+
+  /** Per-arm query-sample ranges [lo, hi) over vec_id — the single
+    * source of truth each arm's own filter AND the s9 recall matrix's
+    * ground truth consume, so an arm's sample cannot drift from the
+    * range its recall is measured on. S2Queries is also s1's (the exact
+    * baseline scores the same sample the LSH arms serve) and s7's (the
+    * multi-probe arm probes s2's exact bank and sample).
+    */
+  val S2Queries: (Long, Long) = (0L, 5L)
+  val S3Queries: (Long, Long) = (100L, 105L)
+  val S4Queries: (Long, Long) = (200L, 205L)
+  val S6Queries: (Long, Long) = (300L, 305L)
+  val S8Queries: (Long, Long) = (400L, 405L)
+
+  private def inRange(c: Column, r: (Long, Long)): Column =
+    c >= r._1 && c < r._2
+
+  private def inRangeSql(c: String, r: (Long, Long)): String =
+    s"($c >= ${r._1} AND $c < ${r._2})"
+
   /** Exact cosine: dot product / precomputed norms.
     *
     * The dot is the native DotProduct expression — a fused loop behind
@@ -58,35 +86,52 @@ object Similarity {
        |    list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
        |    (acc, x) -> acc + x) / ($na * $nb)""".stripMargin
 
-  // --- s1_knn_brute: exact top-10 cosine neighbors for queries id<5 -------
-  def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+  /** Exact brute-force top-k cosine: broadcast the query sample
+    * (selected by `queryPred` over the vector table) against the full
+    * corpus, per-partition scoring with the fused native dot, window
+    * top-k. Shared by s1 (the exact-baseline operator, k=10) and s9
+    * (ground truth for every arm, k=RecallK) so the exact-baseline
+    * semantics — tie order, self-exclusion, the cosine kernel wiring —
+    * live in exactly ONE subtree; `bruteTopKSql` is its oracle mirror.
+    */
+  private def bruteTopK(s: SparkSession, dir: String,
+                        queryPred: Column, k: Int): DataFrame = {
     val e = normed(s, dir)
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cosine"))
-      .orderBy("q_id", "rnk")
   }
 
-  val s1Sql: String =
-    s"""WITH $normedSql,
-       |scored AS (
-       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-       |    ${cosineSql("q.emb", "e.emb", "q.norm", "e.norm")} AS cosine
-       |  FROM normed q JOIN normed e ON e.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 5),
-       |ranked AS (
+  /** Oracle mirror of [[bruteTopK]]; `predSql` filters the query alias
+    * `q`. Assumes `normed` is already in scope as a CTE.
+    */
+  private def bruteTopKSql(predSql: String, k: Int): String =
+    s"""SELECT q_id, rnk, neighbor_id, cosine FROM (
        |  SELECT q_id, neighbor_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY q_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rnk
-       |  FROM scored)
-       |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
-       |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      ${cosineSql("q.emb", "e.emb", "q.norm", "e.norm")} AS cosine
+       |    FROM normed q JOIN normed e ON e.vec_id <> q.vec_id
+       |    WHERE $predSql))
+       |WHERE rnk <= $k""".stripMargin
+
+  // --- s1_knn_brute: exact top-10 cosine neighbors for queries id<5 -------
+  def s1KnnBrute(s: SparkSession, dir: String): DataFrame =
+    bruteTopK(s, dir, inRange(col("vec_id"), S2Queries), 10)
+      .orderBy("q_id", "rnk")
+
+  val s1Sql: String =
+    s"""WITH $normedSql
+       |${bruteTopKSql(inRangeSql("q.vec_id", S2Queries), 10)}
+       |ORDER BY q_id, rnk""".stripMargin
 
   // --- s2_lsh_ann: random-hyperplane buckets + in-bucket exact top-3 ------
   // k (planes, so 2^k buckets) is ADAPTIVE exactly like d5's (round 8):
@@ -165,14 +210,14 @@ object Similarity {
     val e = n0.crossJoin(broadcast(nRow))
       .withColumn("bucket", bucketCol(s2KCol))
       .drop("n_vec")
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(inRange(col("vec_id"), S2Queries))
       .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
               col("emb").as("qe"), col("norm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= ArmTopK)
       .select(col("q_id"), col("q_bucket").as("bucket"), col("rnk"),
               col("vec_id").as("neighbor_id"), col("cosine"))
       .orderBy("q_id", "rnk")
@@ -190,14 +235,14 @@ object Similarity {
        |    ${cosineSql("q.emb", "e.emb", "q.norm", "e.norm")} AS cosine
        |  FROM bucketed q JOIN bucketed e
        |    ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 5),
+       |  WHERE ${inRangeSql("q.vec_id", S2Queries)}),
        |ranked AS (
        |  SELECT q_id, bucket, neighbor_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY q_id
        |                       ORDER BY cosine DESC, neighbor_id) AS rnk
        |  FROM scored)
        |SELECT q_id, bucket, rnk, neighbor_id, cosine FROM ranked
-       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+       |WHERE rnk <= $ArmTopK ORDER BY q_id, rnk""".stripMargin
 
   // --- s3_ivf_ann: coarse-quantizer (IVF-style) ANN -----------------------
   // The inverted-file skeleton: vectors are assigned to their nearest
@@ -220,7 +265,7 @@ object Similarity {
       .withColumn("arnk", row_number().over(wAssign))
       .filter(col("arnk") === 1)
       .select(col("vec_id"), col("emb"), col("norm"), col("c_id").as("cluster"))
-    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    val q = e.filter(inRange(col("vec_id"), S3Queries))
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
     val wProbe = Window.partitionBy("q_id").orderBy(col("p_cos").desc, col("c_id"))
     val probes = q.crossJoin(broadcast(cents))
@@ -233,7 +278,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= ArmTopK)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
               col("cluster"), col("cosine"))
       .orderBy("q_id", "rnk")
@@ -256,7 +301,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${cosineSql("q.emb", "c.ce", "q.norm", "c.cn")} DESC, c.c_id) AS prnk
        |    FROM normed q CROSS JOIN cents c
-       |    WHERE q.vec_id >= 100 AND q.vec_id < 105) WHERE prnk <= $NProbe),
+       |    WHERE ${inRangeSql("q.vec_id", S3Queries)}) WHERE prnk <= $NProbe),
        |cand AS (
        |  SELECT p.q_id, a.cluster, a.vec_id AS neighbor_id,
        |    ${cosineSql("p.qe", "a.emb", "p.qn", "a.norm")} AS cosine
@@ -267,7 +312,7 @@ object Similarity {
        |                               ORDER BY cosine DESC, neighbor_id) AS rnk
        |  FROM cand)
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cluster, cosine
-       |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+       |FROM ranked WHERE rnk <= $ArmTopK ORDER BY q_id, rnk""".stripMargin
 
   // --- s4_sq_ann: scalar-quantized candidates + exact re-rank -------------
   // The memory-side scale path: int8-style scalar quantization (per-vector
@@ -309,7 +354,7 @@ object Similarity {
 
   def s4SqAnn(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
-    val q = e.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+    val q = e.filter(inRange(col("vec_id"), S4Queries))
       .select(col("vec_id").as("q_id"), col("emb").as("qe"),
               col("norm").as("qn"), col("qvec").as("qq"))
     val wCand = Window.partitionBy("q_id").orderBy(col("qdot").desc, col("vec_id"))
@@ -321,7 +366,7 @@ object Similarity {
       .filter(col("crnk") <= SqCandidates)
       .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= ArmTopK)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
               col("qdot"), col("cosine"))
       .orderBy("q_id", "rnk")
@@ -341,7 +386,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |                         ORDER BY $qdotSql DESC, e.vec_id) AS crnk
        |    FROM quant e JOIN quant q
-       |      ON q.vec_id >= 200 AND q.vec_id < 205 AND e.vec_id <> q.vec_id)
+       |      ON ${inRangeSql("q.vec_id", S4Queries)} AND e.vec_id <> q.vec_id)
        |  WHERE crnk <= $SqCandidates),
        |ranked AS (
        |  SELECT q_id, vec_id AS neighbor_id, qdot,
@@ -350,7 +395,7 @@ object Similarity {
        |      ${cosineSql("qe", "emb", "qn", "norm")} DESC, vec_id) AS rnk
        |  FROM cand)
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, qdot, cosine
-       |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+       |FROM ranked WHERE rnk <= $ArmTopK ORDER BY q_id, rnk""".stripMargin
   }
 
   // --- s5_ann_recall: ANN quality evaluation (recall@k vs exact) ----------
@@ -360,8 +405,9 @@ object Similarity {
   // sub-plans — both sides stay DataFrames, the hit-join is on the tiny
   // (q_id, neighbor_id) result sets, and at 100 TB the query SAMPLE is
   // what's evaluated (both sub-plans broadcast the sample, never move the
-  // vector table). k = s2's in-bucket top-3.
-  val RecallK = 3
+  // vector table). Defined as ArmTopK so the evaluation depth can never
+  // exceed what the arms serve (see ArmTopK's doc).
+  val RecallK: Int = ArmTopK
 
   def s5AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = s1KnnBrute(s, dir).filter(col("rnk") <= RecallK)
@@ -405,42 +451,42 @@ object Similarity {
   // sub-plans off the same scan lineage; the hit-joins touch only the
   // tiny per-query result sets, and at 100 TB each arm broadcasts its
   // query sample exactly as it does when serving.
-  val RecallArms: Seq[(String, Long, Long)] = Seq(
-    ("s2_lsh", 0L, 5L), ("s3_ivf", 100L, 105L), ("s4_sq", 200L, 205L),
-    ("s7_multiprobe", 0L, 5L), ("s8_pq", 400L, 405L))
+  /** One row per served index arm — name, query-sample range, served
+    * plan, oracle SQL (as a thunk: s7Sql/s8Sql are defined later in the
+    * file and must not be forced at object init). `RecallArms`, the
+    * served union, and the oracle's arm CTEs ALL derive from this list,
+    * and the ranges are the same constants each arm's own filter
+    * consumes — so adding an arm or moving a query sample cannot leave
+    * the matrix half-updated with ground truth the arm never serves.
+    */
+  private val armRegistry: Seq[(String, (Long, Long),
+      (SparkSession, String) => DataFrame, () => String)] = Seq(
+    ("s2_lsh", S2Queries, s2LshAnn _, () => s2Sql),
+    ("s3_ivf", S3Queries, s3IvfAnn _, () => s3Sql),
+    ("s4_sq", S4Queries, s4SqAnn _, () => s4Sql),
+    ("s7_multiprobe", S2Queries, s7Multiprobe _, () => s7Sql),
+    ("s8_pq", S8Queries, s8PqAnn _, () => s8Sql))
+
+  val RecallArms: Seq[(String, Long, Long)] =
+    armRegistry.map { case (n, (lo, hi), _, _) => (n, lo, hi) }
 
   /** The union-of-ranges query predicate all arms' ground truth shares. */
   private def armRangesPred(c: Column): Column =
     RecallArms.map { case (_, lo, hi) => c >= lo && c < hi }.reduce(_ || _)
 
   /** Exact top-RecallK cosine ground truth for ALL arms' query ranges in
-    * ONE brute pass; s9RecallMatrix holds exactly one instance of this
-    * subtree in its plan.
+    * ONE brute pass (the shared [[bruteTopK]] subtree); s9RecallMatrix
+    * holds exactly one instance of it in its plan.
     */
-  private def bruteTopKAll(s: SparkSession, dir: String): DataFrame = {
-    val e = normed(s, dir)
-    val q = e.filter(armRangesPred(col("vec_id")))
-      .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= RecallK)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"))
-  }
+  private def bruteTopKAll(s: SparkSession, dir: String): DataFrame =
+    bruteTopK(s, dir, armRangesPred(col("vec_id")), RecallK)
+      .select(col("q_id"), col("neighbor_id"))
 
   private def bruteTopKAllSql: String = {
     val pred = RecallArms
-      .map { case (_, lo, hi) => s"(q.vec_id >= $lo AND q.vec_id < $hi)" }
+      .map { case (_, lo, hi) => inRangeSql("q.vec_id", (lo, hi)) }
       .mkString(" OR ")
-    s"""SELECT q_id, neighbor_id FROM (
-       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |      ${cosineSql("q.emb", "e.emb", "q.norm", "e.norm")} DESC, e.vec_id) AS rnk
-       |  FROM normed q JOIN normed e ON e.vec_id <> q.vec_id
-       |  WHERE $pred)
-       |WHERE rnk <= $RecallK""".stripMargin
+    s"SELECT q_id, neighbor_id FROM (\n${bruteTopKSql(pred, RecallK)})"
   }
 
   def s9RecallMatrix(s: SparkSession, dir: String): DataFrame = {
@@ -456,15 +502,13 @@ object Similarity {
     val exactTagged = bruteTopKAll(s, dir)
       .join(armTable, col("q_id") >= col("lo") && col("q_id") < col("hi"))
       .select("index", "q_id", "neighbor_id")
-    val servedAll = Seq[(String, DataFrame)](
-      ("s2_lsh", s2LshAnn(s, dir)), ("s3_ivf", s3IvfAnn(s, dir)),
-      ("s4_sq", s4SqAnn(s, dir)), ("s7_multiprobe", s7Multiprobe(s, dir)),
-      ("s8_pq", s8PqAnn(s, dir)))
-      .map { case (name, served) =>
-        served.filter(col("rnk") <= RecallK)
-          .select(lit(name).as("index"), col("q_id"), col("neighbor_id"),
-                  lit(1L).as("hit"))
-      }.reduce(_ unionAll _)
+    // rnk <= RecallK is structurally a no-op (arms serve ArmTopK =
+    // RecallK rows by definition) — kept as the explicit contract guard
+    val servedAll = armRegistry.map { case (name, _, plan, _) =>
+      plan(s, dir).filter(col("rnk") <= RecallK)
+        .select(lit(name).as("index"), col("q_id"), col("neighbor_id"),
+                lit(1L).as("hit"))
+    }.reduce(_ unionAll _)
     // the served side is BOUNDED by construction (5 arms × 5-query
     // samples × rnk ≤ RecallK = ≤ 75 rows at any corpus size), so the
     // pinned hint is §5-legitimate — and needed: the hit-join sits above
@@ -481,14 +525,11 @@ object Similarity {
   }
 
   lazy val s9Sql: String = {
-    val armSqls = Seq(
-      ("s2_lsh", s2Sql), ("s3_ivf", s3Sql), ("s4_sq", s4Sql),
-      ("s7_multiprobe", s7Sql), ("s8_pq", s8Sql))
     val armValues = RecallArms
       .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
-    val servedUnion = armSqls.map { case (name, served) =>
+    val servedUnion = armRegistry.map { case (name, _, _, served) =>
       s"""SELECT '$name' AS index, q_id, neighbor_id
-         |FROM ($served) WHERE rnk <= $RecallK""".stripMargin
+         |FROM (${served()}) WHERE rnk <= $RecallK""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH $normedSql,
        |exact AS ($bruteTopKAllSql),
@@ -524,14 +565,14 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .select("vec_id", "emb")
-    val q = e.filter(col("vec_id") >= 300 && col("vec_id") < 305)
+    val q = e.filter(inRange(col("vec_id"), S6Queries))
       .select(col("vec_id").as("q_id"), col("emb").as("qe"))
     val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("dot", graft.functions.DotProduct(col("qe"), col("emb")))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= ArmTopK)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("dot"))
       .orderBy("q_id", "rnk")
   }
@@ -546,14 +587,14 @@ object Similarity {
        |scored AS (
        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, $dot AS dot
        |  FROM vecs q JOIN vecs e ON e.vec_id <> q.vec_id
-       |  WHERE q.vec_id >= 300 AND q.vec_id < 305),
+       |  WHERE ${inRangeSql("q.vec_id", S6Queries)}),
        |ranked AS (
        |  SELECT q_id, neighbor_id, dot,
        |    ROW_NUMBER() OVER (PARTITION BY q_id
        |                       ORDER BY dot DESC, neighbor_id) AS rnk
        |  FROM scored)
        |SELECT q_id, rnk, neighbor_id, dot FROM ranked
-       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+       |WHERE rnk <= $ArmTopK ORDER BY q_id, rnk""".stripMargin
   }
 
   // --- s7_multiprobe: multi-probe LSH — Hamming-1 probing of s2's bank ----
@@ -579,7 +620,7 @@ object Similarity {
       .withColumn("k", s2KCol)
       .withColumn("bucket", bucketCol(col("k")))
       .drop("n_vec")
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(inRange(col("vec_id"), S2Queries))
       .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"), col("k"),
               col("emb").as("qe"), col("norm").as("qn"))
       .withColumn("probe", explode(expr(
@@ -593,7 +634,7 @@ object Similarity {
       .withColumn("probe_dist",
         when(col("bucket") === col("q_bucket"), lit(0L)).otherwise(lit(1L)))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= ArmTopK)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
               col("probe_dist"), col("cosine"))
       .orderBy("q_id", "rnk")
@@ -611,7 +652,7 @@ object Similarity {
        |    unnest(list_prepend(q.bucket,
        |      list_transform(range(0, k),
        |        i -> xor(q.bucket, CAST(1 AS BIGINT) << i)))) AS probe
-       |  FROM bucketed q, params WHERE q.vec_id < 5),
+       |  FROM bucketed q, params WHERE ${inRangeSql("q.vec_id", S2Queries)}),
        |scored AS (
        |  SELECT p.q_id, e.vec_id AS neighbor_id,
        |    CAST(CASE WHEN e.bucket = p.q_bucket THEN 0 ELSE 1 END AS BIGINT) AS probe_dist,
@@ -624,7 +665,7 @@ object Similarity {
        |                       ORDER BY cosine DESC, neighbor_id) AS rnk
        |  FROM scored)
        |SELECT q_id, rnk, neighbor_id, probe_dist, cosine FROM ranked
-       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+       |WHERE rnk <= $ArmTopK ORDER BY q_id, rnk""".stripMargin
 
   // --- s8_pq_ann: product-quantization ADC retrieval ----------------------
   // The memory arm the s-family still lacked: s4's scalar quantization
@@ -704,7 +745,7 @@ object Similarity {
     val cbRow = pqCodebook(s, dir)
     val enc = e.crossJoin(broadcast(cbRow))
       .select(col("vec_id"), pqCodes(col("emb"), col("cb")).as("codes"))
-    val q = e.filter(col("vec_id") >= 400 && col("vec_id") < 405)
+    val q = e.filter(inRange(col("vec_id"), S8Queries))
       .crossJoin(broadcast(cbRow))
       .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("norm").as("qn"),
               pqDistTable(col("emb"), col("cb")).as("dtab"))
@@ -725,7 +766,7 @@ object Similarity {
       .join(broadcast(q.select("q_id", "qe", "qn")), "q_id")
       .withColumn("cosine", cosine(col("qe"), col("emb"), col("qn"), col("norm")))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= ArmTopK)
       .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
               col("adist"), col("cosine"))
       .orderBy("q_id", "rnk")
@@ -754,7 +795,7 @@ object Similarity {
        |q AS (
        |  SELECT vec_id AS q_id, emb AS qe, norm AS qn, $dtabSql AS dtab
        |  FROM normed, cbrow
-       |  WHERE vec_id >= 400 AND vec_id < 405),
+       |  WHERE ${inRangeSql("vec_id", S8Queries)}),
        |cand AS (
        |  SELECT * FROM (
        |    SELECT q.q_id, e.vec_id, q.qe, q.qn, $adistSql AS adist,
@@ -769,7 +810,7 @@ object Similarity {
        |      ${cosineSql("c.qe", "n.emb", "c.qn", "n.norm")} DESC, c.vec_id) AS rnk
        |  FROM cand c JOIN normed n ON n.vec_id = c.vec_id)
        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, adist, cosine
-       |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+       |FROM ranked WHERE rnk <= $ArmTopK ORDER BY q_id, rnk""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
