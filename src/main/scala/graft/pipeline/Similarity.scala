@@ -813,8 +813,68 @@ object Similarity {
        |FROM ranked WHERE rnk <= $ArmTopK ORDER BY q_id, rnk""".stripMargin
   }
 
+  // --- s10_knn_graph: batch k-NN graph over the WHOLE corpus --------------
+  // The offline indexing job the serving arms (5-query samples) don't
+  // cover: every vector's top-GraphK in-bucket neighbors — the primitive
+  // under embedding-based curation (SemDeDup-style cluster pruning,
+  // density/diversity sampling, d7-style duplicate-graph seeds). Shape at
+  // 100 TB: the corpus is bucketed ONCE by s2's adaptive sign-LSH (the
+  // same bank the serving arms probe, so graph and serving rank
+  // identically), the self-join keys on bucket, and candidate volume is
+  // n·E[bucket], held flat by the adaptive k. The top-k window
+  // partitions by (bucket, vec_id): a vector lives in exactly ONE
+  // bucket, so the rank equals per-vec_id rank — and in the regime where
+  // the join runs as a bucket-keyed shuffle join (the 100 TB shape; at
+  // the test SFs Catalyst broadcasts the tiny neighbor side instead),
+  // HashPartitioning(bucket) already satisfies the window's clustering,
+  // so ranking rides the join's exchange rather than adding its own. At
+  // scale the bucketed table is written bucketCol-bucketed like a25's
+  // store and even that exchange disappears. Singleton-bucket vectors
+  // yield no rows (no candidates), same as the oracle's join semantics.
+  val GraphK = 3
+
+  def s10KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val n0 = normed(s, dir)
+    val nRow = n0.groupBy().agg(count(lit(1)).as("n_vec"))
+    val e = n0.crossJoin(broadcast(nRow))
+      .withColumn("bucket", bucketCol(s2KCol))
+      .drop("n_vec")
+    val nbrs = e.select(col("vec_id").as("nb_id"), col("bucket"),
+      col("emb").as("nb_emb"), col("norm").as("nb_norm"))
+    val w = Window.partitionBy("bucket", "vec_id")
+      .orderBy(col("cosine").desc, col("nb_id"))
+    e.join(nbrs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .withColumn("cosine", cosine(col("emb"), col("nb_emb"), col("norm"), col("nb_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= GraphK)
+      .select(col("vec_id"), col("rnk"), col("nb_id").as("neighbor_id"), col("cosine"))
+      .orderBy("vec_id", "rnk")
+  }
+
+  val s10Sql: String =
+    s"""WITH $normedSql,
+       |$s2ParamsSql,
+       |bucketed AS (
+       |  SELECT vec_id, emb, norm,
+       |    CAST(${bucketSqlExpr("emb")} AS BIGINT) AS bucket
+       |  FROM normed, params),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    ${cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} AS cosine
+       |  FROM bucketed a JOIN bucketed b
+       |    ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT vec_id, rnk, neighbor_id, cosine FROM ranked
+       |WHERE rnk <= $GraphK ORDER BY vec_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s6_mips_topk" -> (s6MipsTopk _),
+    "s10_knn_graph" -> (s10KnnGraph _),
     "s8_pq_ann" -> (s8PqAnn _),
     "s9_recall_matrix" -> (s9RecallMatrix _),
     "s1_knn_brute" -> (s1KnnBrute _),
@@ -827,6 +887,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s6_mips_topk" -> s6Sql,
+    "s10_knn_graph" -> s10Sql,
     "s8_pq_ann" -> s8Sql,
     "s9_recall_matrix" -> s9Sql,
     "s1_knn_brute" -> s1Sql,

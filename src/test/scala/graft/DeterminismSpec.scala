@@ -28,7 +28,10 @@ class DeterminismSpec extends SparkSpec {
     // PQ encode argmin ties + ADC candidate ranking (s8), shared-kernel
     // containment epilogue (d16)
     "s7_multiprobe", "s8_pq_ann", "d16_containment_dedup",
-    "s9_recall_matrix")
+    "s9_recall_matrix",
+    // whole-corpus self-join top-k: bucket-join fan-out + window ties
+    // across every vector, the widest tie surface in the s-family
+    "s10_knn_graph")
 
   test("results are bit-identical across shuffle partition counts") {
     val key = "spark.sql.shuffle.partitions"

@@ -868,6 +868,49 @@ class PipelineSpec extends SparkSpec {
       s"multiprobe recall below s2: ${rows("s7_multiprobe")} < ${rows("s2_lsh")}")
   }
 
+  test("s10 knn graph: full JVM recount of every vector's in-bucket top-k") {
+    // ground truth: recompute buckets (operator's exact fold semantics at
+    // the adaptive k this corpus selects) and each vector's in-bucket
+    // top-GraphK by cosine with the same left-to-right accumulation, then
+    // compare the WHOLE graph row-for-row — this also proves the
+    // (bucket, vec_id) window partitioning trick ranks identically to a
+    // plain per-vec_id window, since the recount knows nothing of buckets
+    // beyond candidate generation.
+    val vecs = Similarity.normed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Double]]("emb").toArray, r.getAs[Double]("norm"))).toSeq
+    val q = vecs.size.toLong / Similarity.S2BucketTarget
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(q)
+    val k = math.min(Similarity.S2KMax, math.max(Similarity.S2KMin, bitLen))
+    def bucketOf(v: Array[Double]): Long =
+      (0 until k).map { i =>
+        var acc = 0.0
+        val p = Similarity.planes(i)
+        for (d <- 0 until Similarity.Dims) acc += v(d) * p(d)
+        if (acc > 0) 1L << i else 0L
+      }.sum
+    val byBucket = vecs.groupBy { case (_, v, _) => bucketOf(v) }
+    val expected = byBucket.values.flatMap { members =>
+      members.flatMap { case (id, v, n) =>
+        members.filter(_._1 != id)
+          .map { case (nid, nv, nn) =>
+            var acc = 0.0
+            for (d <- 0 until Similarity.Dims) acc += v(d) * nv(d)
+            (nid, acc / (n * nn))
+          }
+          .sortBy { case (nid, c) => (-c, nid) }
+          .take(Similarity.GraphK)
+          .zipWithIndex
+          .map { case ((nid, c), i) => (id, (i + 1).toLong, nid, c) }
+      }
+    }.toSeq.sortBy { case (id, r, _, _) => (id, r) }
+    val got = Similarity.s10KnnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty, "empty knn graph")
+    assert(got == expected,
+      s"graph mismatch: got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("d16 containment: a planted doc-inside-doc pair invisible to d4") {
     // doc 0 (5 tokens -> 3 shingles) is quoted verbatim at the head of
     // doc 1 (17 tokens -> 15 shingles): every doc-0 shingle is in doc 1,
