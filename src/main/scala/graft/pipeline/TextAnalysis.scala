@@ -507,7 +507,89 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // --- t12_heavy_hitters: count-min-sketch frequency estimation -----------
+  // The frequency sketch a 100 TB token stream actually uses: when the
+  // vocabulary doesn't fit anywhere, a CMS answers "how often did term x
+  // occur" from a FIXED 4×W cell grid — each token increments one cell
+  // per hash row, estimate = min over rows, never an underestimate. The
+  // operator is the sketch-accuracy evaluation (the t-family analogue of
+  // s5/s9's recall evaluation): build the sketch over the corpus, track
+  // the exact top-CmsTopK terms, report estimate vs exact and the
+  // overcount. Shape at scale: the sketch build is ONE partial-agg'd
+  // groupBy whose output is bounded by construction (CmsRows·CmsWidth
+  // cells at ANY corpus size — map-side combine collapses each partition
+  // to ≤4·W rows before the shuffle); the exact side exists for the
+  // evaluation and is the piece you'd sample or drop in production. Cell
+  // hashes are the MD5 little-endian-u32 ring key with a per-row prefix
+  // — the same cross-engine-exact formula every fingerprint op shares.
+  val CmsRows = 4
+  val CmsWidth = 32
+  val CmsTopK = 10
+
+  private def cmsBucketSpark(r: Int): String =
+    s"${graft.arrays.HashRing.sparkGenKey(s"concat('$r:', tok)")} % $CmsWidth"
+
+  private def cmsBucketDuck(r: Int): String =
+    s"${graft.arrays.HashRing.duckGenKey(s"'$r:' || tok")} % $CmsWidth"
+
+  def t12HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cells = toks
+      .select(explode(array((0 until CmsRows).map { r =>
+        struct(lit(r).as("r"), expr(cmsBucketSpark(r)).as("bucket"))
+      }: _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    // global top-k via TakeOrdered (orderBy+limit — per-partition partial
+    // top-k, no single-partition window)
+    val tracked = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok")).limit(CmsTopK)
+    val probes = tracked
+      .select(col("tok"), col("exact_n"),
+        explode(array((0 until CmsRows).map { r =>
+          struct(lit(r).as("r"), expr(cmsBucketSpark(r)).as("bucket"))
+        }: _*)).as("cell"))
+      .select(col("tok"), col("exact_n"),
+        col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+    // the sketch is bounded by construction (4·W cells) — §5-legitimate
+    // pinned broadcast
+    probes.join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("tok", "exact_n")
+      .agg(min(col("cell_n")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_n"))
+      .select("tok", "exact_n", "cms_est", "overcount")
+      .orderBy("tok")
+  }
+
+  val t12Sql: String = {
+    val cellSelects = (0 until CmsRows)
+      .map(r => s"SELECT $r AS r, ${cmsBucketDuck(r)} AS bucket FROM toks")
+      .mkString("\n    UNION ALL ")
+    val probeSelects = (0 until CmsRows)
+      .map(r => s"SELECT tok, exact_n, $r AS r, ${cmsBucketDuck(r)} AS bucket FROM tracked")
+      .mkString("\n    UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT t.tok FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+       |  WHERE len(t.tok) > 0),
+       |cells AS (
+       |  SELECT r, bucket, COUNT(*) AS cell_n FROM (
+       |    $cellSelects)
+       |  GROUP BY r, bucket),
+       |tracked AS (
+       |  SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+       |  ORDER BY exact_n DESC, tok LIMIT $CmsTopK),
+       |probes AS (
+       |    $probeSelects)
+       |SELECT p.tok, p.exact_n, MIN(c.cell_n) AS cms_est,
+       |  MIN(c.cell_n) - p.exact_n AS overcount
+       |FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+       |GROUP BY p.tok, p.exact_n ORDER BY p.tok""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_heavy_hitters" -> (t12HeavyHitters _),
     "t11_bigram_surprisal" -> (t11BigramSurprisal _),
     "t9_rarity_score" -> (t9RarityScore _),
     "t10_pack_sequences" -> (t10PackSequences _),
@@ -522,6 +604,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t12_heavy_hitters" -> t12Sql,
     "t9_rarity_score" -> t9Sql,
     "t10_pack_sequences" -> t10Sql,
     "t11_bigram_surprisal" -> t11Sql,

@@ -31,7 +31,9 @@ class DeterminismSpec extends SparkSpec {
     "s9_recall_matrix",
     // whole-corpus self-join top-k: bucket-join fan-out + window ties
     // across every vector, the widest tie surface in the s-family
-    "s10_knn_graph")
+    "s10_knn_graph",
+    // global TakeOrdered tracked-term selection + bounded sketch agg
+    "t12_heavy_hitters")
 
   test("results are bit-identical across shuffle partition counts") {
     val key = "spark.sql.shuffle.partitions"

@@ -911,6 +911,33 @@ class PipelineSpec extends SparkSpec {
       s"graph mismatch: got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("t12 CMS: full JVM sketch recount; estimates never underestimate") {
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    def bucket(r: Int, tok: String): Long =
+      graft.functions.GenKeyImpl.genKey(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$r:$tok")) %
+        TextAnalysis.CmsWidth
+    val cells = collection.mutable.Map.empty[(Int, Long), Long]
+    for (t <- toks; r <- 0 until TextAnalysis.CmsRows)
+      cells.updateWith((r, bucket(r, t)))(c => Some(c.getOrElse(0L) + 1L))
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val tracked = exact.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(TextAnalysis.CmsTopK)
+    val expected = tracked.map { case (t, n) =>
+      val est = (0 until TextAnalysis.CmsRows).map(r => cells((r, bucket(r, t)))).min
+      (t, n, est, est - n)
+    }.sortBy(_._1)
+    val got = TextAnalysis.t12HeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"CMS mismatch:\n got $got\n exp $expected")
+    // the CMS law: min-of-counters can overcount (collisions) but NEVER
+    // undercount — est >= exact for every term, by construction
+    got.foreach { case (t, n, est, over) =>
+      assert(est >= n && over == est - n, s"$t underestimated: $est < $n")
+    }
+  }
+
   test("d16 containment: a planted doc-inside-doc pair invisible to d4") {
     // doc 0 (5 tokens -> 3 shingles) is quoted verbatim at the head of
     // doc 1 (17 tokens -> 15 shingles): every doc-0 shingle is in doc 1,
