@@ -526,8 +526,12 @@ object TextAnalysis {
   val CmsWidth = 32
   val CmsTopK = 10
 
-  private def cmsBucketSpark(r: Int): String =
-    s"${graft.arrays.HashRing.sparkGenKey(s"concat('$r:', tok)")} % $CmsWidth"
+  /** Native GenKey (codegen'd single-digest MD5 u32) — the composed
+    * md5()/conv()/substring() form ran 4 interpreted string round trips
+    * per token and dominated the operator's wall-clock.
+    */
+  private def cmsBucketSpark(r: Int) =
+    graft.functions.GenKey(concat(lit(s"$r:"), col("tok"))) % CmsWidth
 
   private def cmsBucketDuck(r: Int): String =
     s"${graft.arrays.HashRing.duckGenKey(s"'$r:' || tok")} % $CmsWidth"
@@ -538,7 +542,7 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
     val cells = toks
       .select(explode(array((0 until CmsRows).map { r =>
-        struct(lit(r).as("r"), expr(cmsBucketSpark(r)).as("bucket"))
+        struct(lit(r).as("r"), cmsBucketSpark(r).as("bucket"))
       }: _*)).as("cell"))
       .groupBy(col("cell.r").as("r"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("cell_n"))
@@ -549,7 +553,7 @@ object TextAnalysis {
     val probes = tracked
       .select(col("tok"), col("exact_n"),
         explode(array((0 until CmsRows).map { r =>
-          struct(lit(r).as("r"), expr(cmsBucketSpark(r)).as("bucket"))
+          struct(lit(r).as("r"), cmsBucketSpark(r).as("bucket"))
         }: _*)).as("cell"))
       .select(col("tok"), col("exact_n"),
         col("cell.r").as("r"), col("cell.bucket").as("bucket"))
