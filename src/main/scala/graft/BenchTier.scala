@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *    unchanged, so catalog-scale ops grow while pruned point reads
   *    (a25/a26 address one array) must stay FLAT — both shapes are in
   *    the headline set deliberately; a pruned read that grows with the
-  *    inventory is a broken pruning story. ts is written as the raw
-  *    nanos long so the tier dir round-trips through Tables.events'
-  *    nanosAsLong path unchanged.
+  *    inventory is a broken pruning story. ts is copied in its on-disk
+  *    encoding (raw nanos long or native timestamp, whichever the source
+  *    generation used) so the tier dir round-trips through
+  *    Tables.normalizeTs unchanged.
   *  - documents/embeddings: ScaleProbe.generate's replica-local
   *    transforms (suffixed tokens / ±1-sign-flipped dims) — shingle and
   *    cosine affinity stays within replicas, candidates never cross.
@@ -84,8 +85,8 @@ object BenchTier {
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(Tables.nation(s, mainDir), "nation")
     write(Tables.region(s, mainDir), "region")
-    // raw nanos-long read (no timestamp conversion) so the written longs
-    // round-trip through Tables.events' div-1000 path identically
+    // raw read in the on-disk encoding (no timestamp normalization) so the
+    // written column round-trips through Tables.normalizeTs identically
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$mainDir/events.parquet")
     val evReps = (0 until mult).map { i =>

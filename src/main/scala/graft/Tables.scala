@@ -13,15 +13,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 won't map to its
-    * microsecond TimestampType directly; read it as a nanos long and convert
-    * (floor-division, matching DuckDB's ns->us truncation).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (Spark 4 reads those as a nanos long under the
+    * `nanosAsLong` flag) and as TIMESTAMP(MICROS) in others (read natively
+    * as TimestampType). Normalize both to Spark's microsecond
+    * TimestampType; the nanos branch floor-divides, matching DuckDB's
+    * ns->us truncation so the oracle agrees bit-exactly.
     */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: expected nanos LongType or TimestampType, got $other")
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(table(s, d, "events"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

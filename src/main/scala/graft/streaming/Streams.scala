@@ -15,22 +15,18 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events schema for readStream (streaming sources need explicit schema).
-    * ts arrives as nanos (see Tables.events) and is converted.
-    */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Stream events from a directory of events parquet files (file-source
     * contract: the path must be a directory; new files become new
-    * micro-batches).
+    * micro-batches). Streaming sources need an explicit schema, and ts has
+    * shipped both as a nanos long and as a native timestamp across testdata
+    * generations (see Tables.normalizeTs) — peek at the staged files with a
+    * batch read so the stream uses whichever encoding is actually on disk,
+    * then normalize to TimestampType.
     */
   def readEventsStream(s: SparkSession, eventsDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = s.read.parquet(eventsDir).schema
+    Tables.normalizeTs(s.readStream.schema(onDisk).parquet(eventsDir))
   }
 
   // --- st1_stream_window: tumbling 1h window + watermark ------------------
