@@ -13,21 +13,35 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
-    * generations (Spark 4 reads those as a nanos long under the
-    * `nanosAsLong` flag) and as TIMESTAMP(MICROS) in others (read natively
-    * as TimestampType). Normalize both to Spark's microsecond
-    * TimestampType; the nanos branch floor-divides, matching DuckDB's
-    * ns->us truncation so the oracle agrees bit-exactly.
+  /** events.ts has shipped in three parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (Spark 4 reads those as a nanos long
+    * under the `nanosAsLong` flag), TIMESTAMP(MICROS, adjustedToUTC=true)
+    * (read natively as TimestampType), and TIMESTAMP(MICROS,
+    * adjustedToUTC=false) (read as TimestampNTZType since
+    * `inferTimestampNTZ` defaults true). Normalize all three to Spark's
+    * microsecond TimestampType. The session timezone is pinned to UTC in
+    * GraftSession, so the NTZ->TZ cast is a wall-clock identity and the
+    * DuckDB oracle semantics are unchanged. The nanos branch truncates
+    * toward zero (`div`), which matches DuckDB's ns->us conversion for the
+    * post-epoch timestamps the generator emits; pre-epoch nanos would
+    * differ by 1us.
     */
-  def normalizeTs(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
+  def normalizeTs(df: DataFrame): DataFrame = normalizeTs(df, "ts")
+
+  /** Encoding-agnostic temporal loader: accept any of the three observed
+    * encodings for `colName` and emit canonical TimestampType.
+    */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame =
+    df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+        df.withColumn(colName, org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr(s"$colName div 1000")))
       case _: org.apache.spark.sql.types.TimestampType => df
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(colName, org.apache.spark.sql.functions.col(colName)
+          .cast(org.apache.spark.sql.types.TimestampType))
       case other => throw new IllegalStateException(
-        s"events.ts: expected nanos LongType or TimestampType, got $other")
+        s"$colName: expected nanos LongType, TimestampType or TimestampNTZType, got $other")
     }
 
   def events(s: SparkSession, d: String): DataFrame = {
@@ -40,8 +54,10 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "lineitem"), "l_shipdate")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -15,15 +15,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A throwing operator must yield an AUDITABLE record, not a
+        // silently absent key (round 8's NTZ crash made 48 failures look
+        // like "only 62 queries exist"): write an error sidecar in place
+        // of the result dir so the gate sees an err row per key.
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val dir = Paths.get(s"$outDir/$name")
+        try {
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR"),
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}\n")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name: sidecar write failed: ${e2.getMessage}")
+        }
       }
     }
+    if (nFailed > 0)
+      System.err.println(s"[verify] $nFailed of ${SparkEntry.queries.size} queries FAILED")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

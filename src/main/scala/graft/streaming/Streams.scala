@@ -15,17 +15,34 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** The events schema a stream defined over an EMPTY staging directory
+    * uses (nothing staged yet = nothing to peek at). NTZ matches the
+    * current generator's TIMESTAMP(MICROS, adjustedToUTC=false) encoding;
+    * normalizeTs casts it to TimestampType either way.
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Stream events from a directory of events parquet files (file-source
     * contract: the path must be a directory; new files become new
     * micro-batches). Streaming sources need an explicit schema, and ts has
-    * shipped both as a nanos long and as a native timestamp across testdata
-    * generations (see Tables.normalizeTs) — peek at the staged files with a
-    * batch read so the stream uses whichever encoding is actually on disk,
-    * then normalize to TimestampType.
+    * shipped as nanos long, micros-UTC timestamp, and micros-NTZ across
+    * testdata generations (see Tables.normalizeTs) — peek at the staged
+    * files with a batch read so the stream uses whichever encoding is
+    * actually on disk, then normalize to TimestampType. An empty staging
+    * directory (stream defined before the first file lands) falls back to
+    * the declared current-generation schema.
     */
   def readEventsStream(s: SparkSession, eventsDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = s.read.parquet(eventsDir).schema
+    val onDisk =
+      try s.read.parquet(eventsDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
     Tables.normalizeTs(s.readStream.schema(onDisk).parquet(eventsDir))
   }
 

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tables.normalizeTs must be encoding-agnostic: the driver has shipped
+  * events.ts as parquet TIMESTAMP(NANOS) (read as a nanos long under
+  * `nanosAsLong`), TIMESTAMP(MICROS, adjustedToUTC=true) (TimestampType),
+  * and TIMESTAMP(MICROS, adjustedToUTC=false) (TimestampNTZType) across
+  * testdata generations. Round 8 died because the NTZ case was unhandled —
+  * this spec writes the same rows in all three encodings and asserts the
+  * normalized output is bit-identical, so the next encoding migration
+  * fails HERE instead of in the driver gate.
+  */
+class TablesSpec extends SparkSpec {
+
+  private def micros(df: DataFrame): Seq[(Long, Long)] = {
+    import spark.implicits._
+    df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  private lazy val base: Seq[(Long, Long)] = Seq(
+    (1L, 1704067200000000L),           // 2024-01-01T00:00:00Z
+    (2L, 1704067200123456L),           // sub-second micros survive
+    (3L, 1735689599999999L))           // end-of-2024 boundary
+
+  test("normalizeTs: micros-NTZ, micros-UTC and nanos-long encodings agree") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ts-enc").toString
+
+    // TimestampNTZType on disk (the current generator's encoding).
+    base.toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    // TimestampType on disk (micros, adjustedToUTC=true).
+    base.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/tz")
+    // Nanos as a raw long column, as nanosAsLong surfaces TIMESTAMP(NANOS).
+    base.toDF("event_id", "us")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/nanos")
+
+    val expected = base.sortBy(_._1)
+    for (enc <- Seq("ntz", "tz", "nanos")) {
+      val out = Tables.normalizeTs(spark.read.parquet(s"$dir/$enc"))
+      assert(out.schema("ts").dataType === TimestampType, s"encoding $enc")
+      assert(micros(out) === expected, s"encoding $enc")
+    }
+  }
+
+  test("normalizeTs: an unknown encoding fails loudly, not silently") {
+    import spark.implicits._
+    val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
+    val e = intercept[IllegalStateException](Tables.normalizeTs(bad))
+    assert(e.getMessage.contains("StringType"))
+  }
+
+  test("normalizeTs: lineitem and orders temporal loaders are encoding-agnostic") {
+    assert(Tables.lineitem(spark, sf).schema("l_shipdate").dataType === TimestampType)
+    assert(Tables.orders(spark, sf).schema("o_orderdate").dataType === TimestampType)
+  }
+
+  test("normalizeTs: the real testdata events table reads as TimestampType") {
+    val e = Tables.events(spark, sf)
+    assert(e.schema("ts").dataType === TimestampType)
+    assert(e.count() > 0)
+  }
+
+  test("readEventsStream: empty staging directory falls back to declared schema") {
+    val dir = Files.createTempDirectory("graft-empty-stage").toString
+    val stream = graft.streaming.Streams.readEventsStream(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType === TimestampType)
+    assert(stream.schema.fieldNames.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+}
