@@ -10,6 +10,9 @@ object Verify {
     // the driver always runs the full set)
     val subset = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // getOrCreate reuses any live session (VerifySpec drives main() inside
+    // the shared test JVM) — only stop a session this main itself created.
+    val preExisting = SparkSession.getDefaultSession.isDefined
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -60,6 +63,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }
