@@ -40,8 +40,13 @@ object Tables {
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn(colName, org.apache.spark.sql.functions.col(colName)
           .cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.DateType =>
+        // date32 drift (midnight-UTC semantics match DuckDB's DATE ->
+        // TIMESTAMP promotion under the UTC-pinned session)
+        df.withColumn(colName, org.apache.spark.sql.functions.col(colName)
+          .cast(org.apache.spark.sql.types.TimestampType))
       case other => throw new IllegalStateException(
-        s"$colName: expected nanos LongType, TimestampType or TimestampNTZType, got $other")
+        s"$colName: expected nanos LongType, TimestampType, TimestampNTZType or DateType, got $other")
     }
 
   def events(s: SparkSession, d: String): DataFrame = {

@@ -45,6 +45,17 @@ class TablesSpec extends SparkSpec {
       .select(col("event_id"), (col("us") * 1000L).as("ts"))
       .write.mode("overwrite").parquet(s"$dir/nanos")
 
+    // date32 drift: midnight-UTC timestamps out, same rows
+    base.toDF("event_id", "us")
+      .select(col("event_id"),
+        to_date(timestamp_micros(col("us"))).as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/date32")
+    val dateOut = Tables.normalizeTs(spark.read.parquet(s"$dir/date32"))
+    assert(dateOut.schema("ts").dataType === TimestampType)
+    assert(micros(dateOut).map(_._1) === base.map(_._1).sorted)
+    assert(micros(dateOut).forall { case (_, us) => us % 86400000000L == 0 },
+      "date32 must normalize to midnight-UTC timestamps")
+
     val expected = base.sortBy(_._1)
     for (enc <- Seq("ntz", "tz", "nanos")) {
       val out = Tables.normalizeTs(spark.read.parquet(s"$dir/$enc"))
