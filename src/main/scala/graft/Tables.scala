@@ -64,5 +64,22 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame =
     normalizeTs(table(s, d, "lineitem"), "l_shipdate")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The whole s-family's oracle parity rests on float-exact arithmetic
+    * over `array<float>` embeddings (DuckDB replays the same float casts).
+    * A generator drift to `array<double>` would not throw anywhere — every
+    * op would run and hash-mismatch silently. Fail loudly instead, same
+    * doctrine as normalizeTs's unknown-encoding branch (Verify turns the
+    * throw into an auditable _ERROR sidecar).
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => df
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: expected array<float> (float-exact oracle " +
+          s"contract), got $other")
+    }
+  }
 }

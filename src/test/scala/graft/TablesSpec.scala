@@ -82,6 +82,18 @@ class TablesSpec extends SparkSpec {
     assert(e.count() > 0)
   }
 
+  test("embeddings loader rejects a silent float->double drift") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-emb-drift").toString
+    Seq((1L, Seq(0.1, 0.2), 0)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException](Tables.embeddings(spark, dir))
+    assert(e.getMessage.contains("array<float>") ||
+           e.getMessage.contains("float-exact"))
+    // and the real testdata still loads
+    assert(Tables.embeddings(spark, sf).count() > 0)
+  }
+
   test("readEventsStream: empty staging directory falls back to declared schema") {
     val dir = Files.createTempDirectory("graft-empty-stage").toString
     val stream = graft.streaming.Streams.readEventsStream(spark, dir)
