@@ -70,7 +70,12 @@ object BenchFullTier {
         s""""superlinear":${superlinear.mkString("[", ",", "]")},""" +
         s""""skipped":{"st8_stream_mixture":"strict type validation rejects the tier generator's suffixed event types (by design); scaling shape covered by st1"},""" +
         s""""ops":$opsJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_SF05.json"),
+    val outFile = mult match {
+      case 5  => "BENCH_FULL_SF05.json"
+      case 10 => "BENCH_FULL_SF1.json"
+      case m  => s"BENCH_FULL_TIER${m}x.json"
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
     println(json)
