@@ -530,10 +530,10 @@ object TextAnalysis {
     * md5()/conv()/substring() form ran 4 interpreted string round trips
     * per token and dominated the operator's wall-clock.
     */
-  private def cmsBucketSpark(r: Int) =
+  private[graft] def cmsBucketSpark(r: Int) =
     graft.functions.GenKey(concat(lit(s"$r:"), col("tok"))) % CmsWidth
 
-  private def cmsBucketDuck(r: Int): String =
+  private[graft] def cmsBucketDuck(r: Int): String =
     s"${graft.arrays.HashRing.duckGenKey(s"'$r:' || tok")} % $CmsWidth"
 
   def t12HeavyHitters(s: SparkSession, dir: String): DataFrame = {

@@ -552,7 +552,58 @@ object Streams {
        |FROM verdicts GROUP BY 1, 2 ORDER BY reject_reason""".stripMargin
   }
 
+  // --- st11_stream_heavy_hitters: CMS sketch state as a streaming view ---
+  /** t12's count-min sketch maintained AT THE STREAM BOUNDARY — the
+    * canonical streaming use of a sketch: the cell grid is the entire
+    * state (CmsRows×CmsWidth longs at ANY corpus size), each arriving
+    * document only increments cells, and cell counts merge by ADDITION —
+    * associative and commutative, so any micro-batch split, partition
+    * layout, or replay order yields the bit-identical grid (PROVEN in
+    * StreamingSpec: split-corpus grids summed equal the whole-corpus
+    * grid, and a live complete-mode stream converges to the batch grid).
+    * This completes the sketch's gate symmetry (t12→st11, like t8→st10):
+    * batch evaluates the sketch, the stream OWNS it. Cell hashes are
+    * t12's exact kernel (shared cmsBucketSpark — the native GenKey u32
+    * with per-row prefixes), so the streamed grid answers point queries
+    * bit-identically to the batch sketch; StreamingSpec re-derives t12's
+    * estimates from this grid and proves them equal. The aggregation is
+    * ONE partial-agg'd groupBy whose output is bounded by construction —
+    * map-side combine collapses every partition to ≤ CmsRows·CmsWidth
+    * rows before the only shuffle; documents carry no event time, so the
+    * monitoring sink runs complete-mode over the corpus-so-far (st9's
+    * shape) while a production ingest would window by arrival time.
+    */
+  def cmsCellsTransform(docs: DataFrame): DataFrame = {
+    import graft.pipeline.TextAnalysis.{CmsRows, cmsBucketSpark}
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(explode(array((0 until CmsRows).map { r =>
+        struct(lit(r).as("r"), cmsBucketSpark(r).as("bucket"))
+      }: _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+  }
+
+  def st11StreamHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    cmsCellsTransform(Tables.documents(s, dir))
+      .orderBy("r", "bucket")
+
+  val st11Sql: String = {
+    import graft.pipeline.TextAnalysis.{CmsRows, cmsBucketDuck}
+    val cellSelects = (0 until CmsRows)
+      .map(r => s"SELECT $r AS r, ${cmsBucketDuck(r)} AS bucket FROM toks")
+      .mkString("\n    UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT t.tok FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+       |  WHERE len(t.tok) > 0)
+       |SELECT r, bucket, COUNT(*) AS cell_n FROM (
+       |    $cellSelects)
+       |GROUP BY r, bucket ORDER BY r, bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_stream_heavy_hitters" -> (st11StreamHeavyHitters _),
     "st8_stream_mixture" -> (st8StreamMixture _),
     "st9_stream_shard_router" -> (st9StreamShardRouter _),
     "st10_stream_quality_gate" -> (st10StreamQualityGate _),
@@ -566,6 +617,7 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "st11_stream_heavy_hitters" -> st11Sql,
     "st8_stream_mixture" -> st8Sql,
     "st9_stream_shard_router" -> st9Sql,
     "st10_stream_quality_gate" -> st10Sql,

@@ -334,4 +334,74 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 1,
       "admission report has a single verdict class; the gate test is vacuous")
   }
+
+  test("st11: CMS grid converges over MULTIPLE micro-batches and merges by addition") {
+    import org.apache.spark.sql.functions._
+    // Stage the corpus as TWO files and force one file per trigger, so
+    // the stream genuinely crosses a micro-batch boundary — the grid
+    // must come out identical to the batch build anyway (cell counts
+    // merge by addition; no split can change them).
+    val staging = java.nio.file.Files.createTempDirectory("graft-stream-cms")
+    Seq(("even", "doc_id % 2 = 0"), ("odd", "doc_id % 2 = 1")).foreach {
+      case (tag, pred) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-cms-$tag")
+        Tables.documents(spark, sf).filter(expr(pred)).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part.toPath, staging.resolve(s"$tag.parquet"))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staging.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staging.toString)
+    val q = Streams.cmsCellsTransform(stream)
+      .writeStream.format("memory").queryName("st11_mem")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st11_mem")
+    val batch = Streams.st11StreamHeavyHitters(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 &&
+           batch.except(streamed).count() == 0,
+      "multi-batch streamed CMS grid != batch CMS grid")
+    // The merge law itself, stated directly in batch: per-half grids
+    // summed cell-for-cell equal the whole-corpus grid.
+    def grid(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      Streams.cmsCellsTransform(df).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sf)
+    val whole = grid(docs)
+    val even = grid(docs.filter(expr("doc_id % 2 = 0")))
+    val odd = grid(docs.filter(expr("doc_id % 2 = 1")))
+    assert(whole.nonEmpty)
+    whole.foreach { case (cell, n) =>
+      assert(even.getOrElse(cell, 0L) + odd.getOrElse(cell, 0L) == n,
+        s"cell $cell: ${even.getOrElse(cell, 0L)} + ${odd.getOrElse(cell, 0L)} != $n")
+    }
+  }
+
+  test("st11: the streamed grid answers point queries bit-identically to t12") {
+    import org.apache.spark.sql.functions._
+    // Re-derive every tracked token's estimate from st11's grid alone
+    // (min over the token's CmsRows cells) and compare against t12's
+    // cms_est — the stream-owned sketch and the batch evaluation must
+    // agree exactly, or live point queries drift from the offline report.
+    val grid = Streams.st11StreamHeavyHitters(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val t12 = graft.pipeline.TextAnalysis.t12HeavyHitters(spark, sf)
+    import graft.pipeline.TextAnalysis.{CmsRows, cmsBucketSpark}
+    val probes = t12.select(col("tok"), col("cms_est"))
+      .withColumn("cells", array((0 until CmsRows).map { r =>
+        struct(lit(r).as("r"), cmsBucketSpark(r).as("bucket"))
+      }: _*))
+      .collect()
+    assert(probes.nonEmpty)
+    probes.foreach { row =>
+      val est = row.getSeq[org.apache.spark.sql.Row](2)
+        .map(c => grid((c.getInt(0), c.getLong(1)))).min
+      assert(est == row.getLong(1),
+        s"token ${row.getString(0)}: grid-derived estimate $est != t12 ${row.getLong(1)}")
+    }
+  }
 }
