@@ -564,13 +564,21 @@ object Dedup {
     out
   }
 
+  /** One table's bucket as SQL, k-GENERIC: the full EmbKMax-plane bank is
+    * unrolled and each bit is gated on `i < k` (k rides in from the params
+    * CTE), replaying kernelBuckets' "first k planes" rule for WHATEVER k
+    * the adaptive rule selects — the oracle no longer needs a k=EmbKMin
+    * unroll guard (s2's oracle set the pattern). The CASE puts the gate
+    * first, so DuckDB's lazy branch evaluation skips the inactive planes'
+    * dots entirely.
+    */
   private def embBucketSqlExpr(t: Int): String =
-    (0 until EmbKMin).map { i =>
+    (0 until EmbKMax).map { i =>
       val dot =
         s"""list_reduce(list_prepend(0.0,
            |      list_transform(range(1, 65), i -> emb[i] * (${planeLitSql(embPlanes(t * EmbKMax + i))})[i])),
            |      (acc, x) -> acc + x)""".stripMargin
-      s"CASE WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
+      s"CASE WHEN $i >= k THEN 0 WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString(" + ")
 
   /** The per-bucket exact verify is a primitive double[] kernel, not a
@@ -642,24 +650,20 @@ object Dedup {
     val buckets = (0 until EmbTables)
       .map(t => s"CAST(${embBucketSqlExpr(t)} AS BIGINT)").mkString(",\n    ")
     // params mirrors embK bit-exactly: length(bin(q)) = bitLength(q) for
-    // q >= 1 (no libm). The plane expressions below are unrolled for
-    // k = EmbKMin — the value the rule selects at every corpus the
-    // oracle runs on (the driver gate is sf0.01); a corpus big enough to
-    // activate more planes raises a LOUD error instead of silently
-    // diverging. error() sits in the CTE projection, its input k0 in an
-    // inner subquery (DuckDB cannot reference a same-SELECT alias whose
-    // chain contains error()).
+    // q >= 1 (no libm), clamped to [EmbKMin, EmbKMax]. The plane bank is
+    // fully unrolled to EmbKMax and each bit gated on its index vs k
+    // (see embBucketSqlExpr), so the SAME oracle text verifies every k
+    // the adaptive rule can select — the driver gate now covers the
+    // adaptive branch instead of error()ing outside k=EmbKMin.
     s"""WITH ${Similarity.normedSql},
        |params AS (
-       |  SELECT CASE WHEN k0 <> $EmbKMin THEN error('d5 oracle is unrolled for k=$EmbKMin planes; the adaptive rule selects k=' || CAST(k0 AS VARCHAR))
-       |              ELSE k0 END AS k
-       |  FROM (SELECT LEAST($EmbKMax, GREATEST($EmbKMin,
+       |  SELECT LEAST($EmbKMax, GREATEST($EmbKMin,
        |          CASE WHEN n // $EmbBucketTarget = 0 THEN 0
-       |               ELSE length(bin(n // $EmbBucketTarget)) END)) AS k0
-       |        FROM (SELECT COUNT(*) AS n FROM normed))),
+       |               ELSE length(bin(n // $EmbBucketTarget)) END)) AS k
+       |  FROM (SELECT COUNT(*) AS n FROM normed)),
        |bucketed AS (
        |  SELECT vec_id, [$buckets] AS buckets
-       |  FROM normed CROSS JOIN params WHERE k = $EmbKMin),
+       |  FROM normed CROSS JOIN params),
        |exploded AS (
        |  SELECT vec_id, tbl, buckets[tbl + 1] AS bkt
        |  FROM bucketed CROSS JOIN (SELECT unnest(range(0, $EmbTables)) AS tbl)),

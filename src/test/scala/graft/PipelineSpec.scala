@@ -707,6 +707,11 @@ class PipelineSpec extends SparkSpec {
     // one perturbed near-duplicate per base (cos ~ 0.94), so the band is
     // exactly the 1280 constructed pairs and recall misses are loud.
     assert(Dedup.embK(2560) == 4 && Dedup.embK(2000) == 3)
+    // the oracle is k-generic (round 10): full plane bank gated on i < k,
+    // no unroll guard — a reintroduced error() would blind the driver gate
+    // to this adaptive branch again
+    assert(!Dedup.d5Sql.contains("error("),
+      "d5Sql must stay k-generic (no unroll-guard error())")
     val dims = Similarity.Dims
     val half = 1280
     def u01(x0: Long): Double = { // splitmix64-style mix to [-1, 1)
