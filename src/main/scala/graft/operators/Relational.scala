@@ -415,12 +415,18 @@ object Relational {
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // --- q17_json_props: semi-structured extraction from the props column ---
-  // get_json_object is codegen'd; at scale prefer from_json with an
-  // explicit schema once per pipeline — here the single-key extract shows
-  // the pushably-cheap path.
+  // ONE from_json with an explicit schema parses the payload once per row
+  // into a struct (the SURVEY §2 scale path — a pipeline extracting more
+  // props keys later widens the schema, not the parse count); Catalyst's
+  // json-expression optimization prunes the parsed schema to the fields
+  // actually read, and CollapseProject keeps the parse in its own
+  // projection below the aggregate.
   def q17JsonProps(s: SparkSession, dir: String): DataFrame = {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
     Tables.events(s, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
       .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
            Det.dsum(col("value")).as("total_value"),
