@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (BenchTier.generate's key-disjoint 5× of sf0.1, written to parquet, so
   * every scan/prune/pushdown path is the production file path, not an
   * in-memory union). BENCH_SF05 times 28 headline ops; this times all
-  * 110, with in-run sf0.1 counterparts for per-op growth exponents, so a
+  * 111, with in-run sf0.1 counterparts for per-op growth exponents, so a
   * scale problem hiding in a non-headline op has nowhere to hide. Writes
   * BENCH_FULL_SF05.json. `runMain graft.BenchFullTier [mult] [mainSfDir]`.
   */
@@ -39,16 +39,10 @@ object BenchFullTier {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    // st8's mixture gate validates event types STRICTLY (unknown type ->
-    // raise_error, by design): the tier generator grows the array
-    // inventory by suffixing event_type per replica, which st8 correctly
-    // rejects. Skipped EXPLICITLY (recorded in the artifact) rather than
-    // silently — the incompatibility is generator-vs-doctrine, not a
-    // plan-scale problem; st8's scaling is covered by st1 (same
-    // watermark+window shape over the same table).
-    val skipped = Seq("st8_stream_mixture")
-    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => skipped.contains(q._1)).map { case (name, fn) =>
+    // round 10: st8 is no longer skipped — its whitelist admits the tier
+    // generator's "x<replica>"-suffixed types under the base type's quota
+    // (Streams.St8BasePattern), so all 111 ops time on the tier files.
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val tMain = time(fn, mainDir)
       val tTier = time(fn, tierDir)
       val e = math.log(tTier / tMain) / math.log(mult.toDouble)
@@ -68,7 +62,7 @@ object BenchFullTier {
         s""""main_sf":"$mainDir","timing":"min of $Runs after warm + GC barrier",""" +
         s""""total_sf01":${f3(entries.map(_._2).sum)},"total_tier":${f3(entries.map(_._3).sum)},""" +
         s""""superlinear":${superlinear.mkString("[", ",", "]")},""" +
-        s""""skipped":{"st8_stream_mixture":"strict type validation rejects the tier generator's suffixed event types (by design); scaling shape covered by st1"},""" +
+        s""""skipped":{},""" +
         s""""ops":$opsJson}"""
     val outFile = mult match {
       case 5  => "BENCH_FULL_SF05.json"

@@ -351,16 +351,25 @@ object Streams {
     * agrees with what the live gate admitted. Heavy telemetry types
     * (view/click) keep 25%; business-critical types keep everything.
     * Unknown types fail loudly (raise_error) rather than silently
-    * re-bucketing — same doctrine as d8's source validation.
+    * re-bucketing — same doctrine as d8's source validation. The scale
+    * tiers' generator derives replica types by suffixing a known base
+    * with "x<replica>" (BenchTier), so the whitelist admits those under
+    * the BASE type's quota — a replica inherits its original's admission
+    * behavior, keeping tier growth linear by construction — while a type
+    * whose base is not whitelisted still raises.
     * The keep decision itself is stateless/map-side (zero shuffle at the
     * gate); the windowed admission report is ONE watermarked streaming
     * aggregation, the standard monitoring sink.
     */
-  private def st8Quota: Column =
-    when(col("event_type").isin("view", "click"), 2500L)
-      .when(col("event_type").isin("purchase", "signup", "error"), 10000L)
+  private val St8BasePattern = "^(view|click|purchase|signup|error)(x[0-9]+)?$"
+
+  private def st8Quota: Column = {
+    val base = regexp_extract(col("event_type"), St8BasePattern, 1)
+    when(base.isin("view", "click"), 2500L)
+      .when(base.isin("purchase", "signup", "error"), 10000L)
       .otherwise(raise_error(
         concat(lit("st8: unexpected event type: "), col("event_type"))))
+  }
 
   def mixtureGateTransform(events: DataFrame): DataFrame =
     events
@@ -394,8 +403,8 @@ object Streams {
        |  SELECT ts, event_type, quota_bp, ($h) % 10000 < quota_bp AS kept
        |  FROM (
        |    SELECT ts, event_type, event_id,
-       |      CAST(CASE WHEN event_type IN ('view', 'click') THEN 2500
-       |                WHEN event_type IN ('purchase', 'signup', 'error') THEN 10000
+       |      CAST(CASE WHEN regexp_extract(event_type, '$St8BasePattern', 1) IN ('view', 'click') THEN 2500
+       |                WHEN regexp_extract(event_type, '$St8BasePattern', 1) IN ('purchase', 'signup', 'error') THEN 10000
        |                ELSE CAST(error('st8: unexpected event type: ' || event_type) AS INTEGER)
        |           END AS BIGINT) AS quota_bp
        |    FROM events))

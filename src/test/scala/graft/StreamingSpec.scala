@@ -56,6 +56,24 @@ class StreamingSpec extends SparkSpec {
     assert(rates("view") < 0.5 && rates("click") < 0.5)
   }
 
+  test("st8: tier-suffixed replica types admit under the base type's quota") {
+    import spark.implicits._
+    // BenchTier derives replica types by suffixing "x<replica>" onto a
+    // known base; the gate must admit them with the BASE quota (viewx3 ->
+    // 2500bp, errorx12 -> 10000bp), not raise — that is what un-skips st8
+    // in the full-tier benches.
+    val suffixed = Seq(
+      (1L, 1700000000000000L, 7L, "viewx3", 1.0, "{}"),
+      (2L, 1700000000000000L, 8L, "errorx12", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val quotas = Streams.mixtureGateTransform(suffixed)
+      .select("event_type", "quota_bp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas == Map("viewx3" -> 2500L, "errorx12" -> 10000L),
+      s"suffixed types must inherit base quotas, got $quotas")
+  }
+
   test("st8: an unknown event type fails loudly instead of re-bucketing") {
     import spark.implicits._
     val bogus = Seq((1L, 1700000000000000L, 7L, "mystery_type", 1.0, "{}"))
