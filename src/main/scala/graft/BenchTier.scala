@@ -73,8 +73,15 @@ object BenchTier {
   /** Extend ScaleProbe's documents+embeddings tier dir with the TPC-H
     * tables and events, all mult×.
     */
-  def generate(s: SparkSession, mainDir: String, mult: Int): String = {
-    val dir = ScaleProbe.generate(s, mainDir, mult)
+  def generate(s: SparkSession, mainDir: String, mult: Int): String =
+    generate(s, mainDir, mult, None)
+
+  /** As above; `target` writes to a caller-owned persistent dir (see
+    * ScaleProbe.generate).
+    */
+  def generate(s: SparkSession, mainDir: String, mult: Int,
+               target: Option[String]): String = {
+    val dir = ScaleProbe.generate(s, mainDir, mult, target)
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
     write(repKeys(Tables.customer(s, mainDir), mult, Seq("c_custkey")), "customer")

@@ -42,10 +42,21 @@ object ScaleProbe {
   }
 
   /** Derive the mult× corpus (documents + embeddings) under tmpdir. */
-  def generate(s: SparkSession, mainDir: String, mult: Int): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-scaleup-" +
-      s"${ProcessHandle.current.pid}-$mult"
-    TmpCleanup.register(dir)
+  def generate(s: SparkSession, mainDir: String, mult: Int): String =
+    generate(s, mainDir, mult, None)
+
+  /** As above; `target` writes to a caller-owned dir that survives JVM
+    * exit (no TmpCleanup) — MakeTier uses this so a Verify run in a
+    * LATER process can gate the tier corpus against the DuckDB oracle.
+    */
+  def generate(s: SparkSession, mainDir: String, mult: Int,
+               target: Option[String]): String = {
+    val dir = target.getOrElse {
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft-scaleup-" +
+        s"${ProcessHandle.current.pid}-$mult"
+      TmpCleanup.register(d)
+      d
+    }
     val docs = Tables.documents(s, mainDir)
     val docReps = (0 until mult).map { i =>
       if (i == 0) docs

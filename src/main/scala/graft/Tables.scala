@@ -22,9 +22,11 @@ object Tables {
     * microsecond TimestampType. The session timezone is pinned to UTC in
     * GraftSession, so the NTZ->TZ cast is a wall-clock identity and the
     * DuckDB oracle semantics are unchanged. The nanos branch truncates
-    * toward zero (`div`), which matches DuckDB's ns->us conversion for the
-    * post-epoch timestamps the generator emits; pre-epoch nanos would
-    * differ by 1us.
+    * toward zero (`div`), which is also what DuckDB's parquet ns->us
+    * conversion does for BOTH pre- and post-epoch values (verified
+    * empirically against DuckDB 1.x: -1500ns reads back as -1us, -999ns
+    * as 0 — truncation, not floor), so the parity holds everywhere, not
+    * just on post-epoch data; TablesSpec pins the pre-epoch cases.
     */
   def normalizeTs(df: DataFrame): DataFrame = normalizeTs(df, "ts")
 
@@ -34,8 +36,23 @@ object Tables {
   def normalizeTs(df: DataFrame, colName: String): DataFrame =
     df.schema(colName).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn(colName, org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"$colName div 1000")))
+        // Raw int64 is interpreted as epoch-NANOS (how nanosAsLong
+        // surfaces TIMESTAMP(NANOS)). Sanity-gate the magnitude per row:
+        // an epoch-days (~2e4) or epoch-seconds (~2e9) int64 that lost
+        // its logical type would otherwise silently normalize to ~1970
+        // and surface later as a confusing oracle hash mismatch; any
+        // plausible nanos instant is >= 100 s (1e11 ns) from the epoch
+        // in magnitude (0 itself — the exact epoch — is allowed).
+        import org.apache.spark.sql.functions._
+        val nanos = col(colName)
+        df.withColumn(colName, timestamp_micros(
+          when(nanos.isNull, lit(null).cast("long"))
+            .when(nanos =!= 0L && abs(nanos) < 100000000000L,
+              raise_error(concat(
+                lit(s"$colName: int64 magnitude implausible for epoch-nanos" +
+                  " (epoch-days or epoch-seconds that lost their parquet" +
+                  " logical type?): "), nanos.cast("string"))))
+            .otherwise(expr(s"$colName div 1000"))))
       case _: org.apache.spark.sql.types.TimestampType => df
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn(colName, org.apache.spark.sql.functions.col(colName)

@@ -35,8 +35,12 @@ object Verify {
         try {
           if (Files.exists(dir)) {
             import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse
+            // Files.walk holds a directory handle until closed — one leak
+            // per failing query adds up over a 111-op run
+            val walk = Files.walk(dir)
+            try walk.iterator().asScala.toSeq.reverse
               .foreach(p => Files.deleteIfExists(p))
+            finally walk.close()
           }
           Files.createDirectories(dir)
           Files.writeString(dir.resolve("_ERROR"),

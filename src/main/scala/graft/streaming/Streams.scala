@@ -34,15 +34,30 @@ object Streams {
     * shipped as nanos long, micros-UTC timestamp, and micros-NTZ across
     * testdata generations (see Tables.normalizeTs) — peek at the staged
     * files with a batch read so the stream uses whichever encoding is
-    * actually on disk, then normalize to TimestampType. An empty staging
-    * directory (stream defined before the first file lands) falls back to
-    * the declared current-generation schema.
+    * actually on disk, then normalize to TimestampType. ONLY an empty or
+    * not-yet-created staging directory (stream defined before the first
+    * file lands) falls back to the declared current-generation schema —
+    * the emptiness is checked explicitly by listing the path, so a real
+    * analysis failure over staged files (corrupt footer, conflicting
+    * schemas, permissions) surfaces HERE, at definition time, instead of
+    * being masked by the fallback and resurfacing later as a confusing
+    * stream-time schema mismatch.
     */
   def readEventsStream(s: SparkSession, eventsDir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk =
-      try s.read.parquet(eventsDir).schema
-      catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
+    val path = new org.apache.hadoop.fs.Path(eventsDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasParquet = fs.exists(path) && {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val name = it.next().getPath.getName
+        found = name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")
+      }
+      found
+    }
+    val onDisk = if (hasParquet) s.read.parquet(eventsDir).schema else eventsSchema
     Tables.normalizeTs(s.readStream.schema(onDisk).parquet(eventsDir))
   }
 

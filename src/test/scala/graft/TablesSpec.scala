@@ -64,6 +64,51 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("normalizeTs: pre-epoch nanos truncate toward zero, matching DuckDB") {
+    import spark.implicits._
+    // DuckDB's parquet ns->us conversion truncates toward zero for pre-
+    // epoch values too (verified empirically against DuckDB 1.x: -1500ns
+    // reads back as -1us, not floor's -2us) — so the claimed oracle
+    // parity is truncation EVERYWHERE, and these cases pin the Spark
+    // side to it. Sub-us remainders on pre-epoch instants only exist in
+    // the nanos encoding, hence the single-encoding test.
+    val dir = Files.createTempDirectory("graft-ts-preepoch").toString
+    val rows = Seq(
+      (1L, -1000000000001500L),   // trunc -> -1000000000001 us (floor: -2)
+      (2L, -315619200000001500L), // ~1960, trunc -> -315619200000001 us
+      (3L, -1000000000000000L),   // exact us boundary: no remainder
+      (4L, 1704067200123456789L)) // post-epoch control, trunc -> ...123456 us
+    rows.toDF("event_id", "ts").write.mode("overwrite").parquet(s"$dir/nanos")
+    val out = micros(Tables.normalizeTs(spark.read.parquet(s"$dir/nanos")))
+    assert(out === Seq(
+      (1L, -1000000000001L),
+      (2L, -315619200000001L),
+      (3L, -1000000000000L),
+      (4L, 1704067200123456L)))
+  }
+
+  test("normalizeTs: an implausibly small int64 raises instead of reading as ~1970") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ts-guard").toString
+    // epoch-SECONDS that lost their parquet logical type: interpreting
+    // them as nanos would silently yield 1970-01-01T00:00:01.7 — the
+    // magnitude guard must raise loudly instead
+    Seq((1L, 1700000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/secs")
+    val e = intercept[Exception] {
+      Tables.normalizeTs(spark.read.parquet(s"$dir/secs")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("implausible for epoch-nanos")),
+      s"expected the magnitude guard raise, got: $e")
+    // the exact epoch (0) stays allowed
+    Seq((1L, 0L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/zero")
+    assert(micros(Tables.normalizeTs(spark.read.parquet(s"$dir/zero")))
+      === Seq((1L, 0L)))
+  }
+
   test("normalizeTs: an unknown encoding fails loudly, not silently") {
     import spark.implicits._
     val bad = Seq((1L, "2024-01-01")).toDF("event_id", "ts")
