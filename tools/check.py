@@ -64,6 +64,9 @@ def compare(name, sdf, odf):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # optional: write a CORRECTNESS-shaped per-query JSON artifact
+    json_out = os.environ.get("GRAFT_CHECK_JSON")
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
@@ -82,12 +85,15 @@ def main():
         sdf = load_spark(outdir, name)
         if sdf is None:
             print(f"FAIL {name}: no spark output")
+            results[name] = {"status": "err", "issues": ["no spark output"]}
             nfail += 1
             continue
         try:
             odf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            results[name] = {"status": "err",
+                             "issues": [f"oracle sql error: {e}"]}
             nfail += 1
             continue
         issues = compare(name, sdf, odf)
@@ -95,9 +101,12 @@ def main():
             print(f"FAIL {name}:")
             for i in issues:
                 print(f"   {i}")
+            results[name] = {"status": "fail", "rows": len(sdf),
+                             "issues": issues}
             nfail += 1
         else:
             print(f"PASS {name} ({len(sdf)} rows)")
+            results[name] = {"status": "pass", "rows": len(sdf)}
             npass += 1
     # queries with no oracle → rows-only check
     outs = {os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*"))
@@ -109,6 +118,12 @@ def main():
         npass += ok
         nfail += not ok
     print(f"== {npass} pass, {nfail} fail")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sfdir": sfdir, "n_pass": int(npass),
+                       "n_fail": int(nfail), "queries": results},
+                      f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if nfail else 0)
 
 
