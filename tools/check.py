@@ -33,7 +33,7 @@ def norm(df):
     return df
 
 
-def compare(name, sdf, odf):
+def compare(name, sdf, odf, notes=None):
     issues = []
     if sorted(sdf.columns) != sorted(odf.columns):
         return [f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
@@ -47,7 +47,32 @@ def compare(name, sdf, odf):
             issues.append(f"dtype[{c}]: spark={sv.dtype} oracle={ov.dtype}")
         try:
             if sv.dtype.kind == "f" or ov.dtype.kind == "f":
-                eq = (sv.values == ov.values) | (pd.isna(sv.values) & pd.isna(ov.values))
+                a = np.asarray(sv.values, dtype=np.float64)
+                b = np.asarray(ov.values, dtype=np.float64)
+                eq = (a == b) | (pd.isna(a) & pd.isna(b))
+                # DuckDB's DECIMAL->DOUBLE cast double-rounds (int128 ->
+                # double, then /10^scale) and can land exactly 1 ulp off
+                # the correctly-rounded value Spark's
+                # BigDecimal.doubleValue() produces (observed: q1
+                # sum_charge at the 5x tier, exact decimal ...470795 ->
+                # DuckDB ...470797 while Spark/python give ...470795).
+                # Concede EXACTLY 1 ulp on finite mismatches, loudly
+                # annotated so it cannot hide real drift.
+                fin = np.where(np.isfinite(a) & np.isfinite(b) & ~eq)[0]
+                if len(fin):
+                    ia = a[fin].view(np.int64)
+                    ib = b[fin].view(np.int64)
+                    ia = np.where(ia < 0, np.int64(-2**63) - ia, ia)
+                    ib = np.where(ib < 0, np.int64(-2**63) - ib, ib)
+                    close = np.abs(ia - ib) <= 1
+                    if close.any():
+                        eq[fin[close]] = True
+                        msg = (f"values[{c}]: {int(close.sum())} value(s) "
+                               "conceded at 1 ulp (DuckDB decimal->double "
+                               "double-rounding)")
+                        print(f"   note {name}: {msg}")
+                        if notes is not None:
+                            notes.append(msg)
             else:
                 eq = (sv.astype(str).values == ov.astype(str).values)
             bad = np.where(~eq)[0]
@@ -96,7 +121,8 @@ def main():
                              "issues": [f"oracle sql error: {e}"]}
             nfail += 1
             continue
-        issues = compare(name, sdf, odf)
+        notes = []
+        issues = compare(name, sdf, odf, notes)
         if issues:
             print(f"FAIL {name}:")
             for i in issues:
@@ -107,6 +133,8 @@ def main():
         else:
             print(f"PASS {name} ({len(sdf)} rows)")
             results[name] = {"status": "pass", "rows": len(sdf)}
+            if notes:
+                results[name]["notes"] = notes
             npass += 1
     # queries with no oracle → rows-only check
     outs = {os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*"))
