@@ -133,7 +133,11 @@ object ScaleProbe {
         s""""emb_ratio":${Bench.fnum(embRatio, 1)},"timing":"min of 4 after warm + GC barrier",""" +
         s""""note":"d5 and s2 both adapt k in-plan since round 8 (clamp(bitLength(n/256), kmin, 8)); bucket population pinned as n grows (SURVEY par.5)",""" +
         s""""ops":${entries.mkString("{", ",", "}")}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_UP.json"),
+    // mult 5 is the long-standing SCALE_UP.json artifact; other tiers get
+    // their own file so a larger probe extends the record without
+    // overwriting the committed decade
+    val outFile = if (mult == 5) "SCALE_UP.json" else s"SCALE_UP_${mult}x.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
     println(json)
