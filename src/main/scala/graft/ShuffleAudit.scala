@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Quantitative shuffle audit: the plan specs (PlanAuditSpec) prove the
+  * SHAPE claims — which joins broadcast, which reads never exchange —
+  * but the 100 TB story also makes QUANTITY claims ("d5 shuffles the
+  * vectors once: ~T·n·8 bytes of bucket keys, never all-pairs", "d4's
+  * kernel moves the shingle table through one exchange"). This main
+  * measures them: per operator, the total shuffle bytes WRITTEN (the
+  * cluster-network currency) and the number of shuffle-writing stages,
+  * at two real on-disk corpora a known factor apart, then flags any op
+  * whose shuffle traffic grows super-linearly in the data. A plan can
+  * hide quadratic work from wall-clock timing at small SF (overhead
+  * floor) but not from shuffle bytes — the bytes ARE the work.
+  *
+  * `runMain graft.ShuffleAudit [dirA] [dirB] [mult]` (defaults:
+  * /root/testdata/sf0.1, target/tier10, 10). Writes SHUFFLE_AUDIT.json.
+  *
+  * Measurement: a SparkListener sums StageInfo.taskMetrics shuffle
+  * write bytes per completed stage; listener delivery is async, so
+  * after each op the reader polls until the event count is stable.
+  * Bytes are deterministic for a fixed plan+data (modulo compression
+  * of identical payloads), so one measured run per (op, dir) suffices
+  * — no min-of-N protocol needed.
+  */
+object ShuffleAudit {
+
+  final class Acc extends SparkListener {
+    val bytes = new AtomicLong
+    val shuffleStages = new AtomicInteger
+    val events = new AtomicInteger
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        bytes.addAndGet(w)
+        if (w > 0) shuffleStages.incrementAndGet()
+      }
+      events.incrementAndGet()
+    }
+  }
+
+  /** Run `job` and return (shuffleBytesWritten, shuffleWritingStages)
+    * attributed to it. Polls the async listener bus until no new
+    * stage-completed events arrive for two consecutive 100 ms windows
+    * (cap 10 s) before reading the counters.
+    */
+  def measure(acc: Acc)(job: => Unit): (Long, Int) = {
+    drain(acc)
+    val b0 = acc.bytes.get; val s0 = acc.shuffleStages.get
+    job
+    drain(acc)
+    (acc.bytes.get - b0, acc.shuffleStages.get - s0)
+  }
+
+  private def drain(acc: Acc): Unit = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var stable = 0
+    var last = acc.events.get
+    while (stable < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val now = acc.events.get
+      if (now == last) stable += 1 else { stable = 0; last = now }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dirB = args.lift(1).getOrElse("/root/repo/target/tier10")
+    val mult = args.lift(2).map(_.toDouble).getOrElse(10.0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+    SparkEntry.entry(spark).count() // session warm-up, as in Bench
+    // array-store ETL outside the measurements (same exclusion Bench makes)
+    Seq(dirA, dirB).foreach { d =>
+      graft.arrays.ArrayModel.cellsStored(spark, d).count()
+      graft.arrays.ArrayModel.cellsBucketed(spark, d).count()
+    }
+    // Gate: with ≥ MinBytes at dirA (above the fixed-overhead floor of
+    // tiny final-agg exchanges), bytes at dirB must not exceed
+    // mult^1.3 × bytesA — the same 1.3-exponent allowance the timing
+    // tiers use, in byte space. Below the floor, ratios are noise
+    // (a 40 KB op doubling is a partition-count artifact, not a plan
+    // property) — reported, never gated.
+    val MinBytes = 256L * 1024
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (ba, sa) = measure(acc) { fn(spark, dirA).count() }
+      val (bb, sb) = measure(acc) { fn(spark, dirB).count() }
+      val ratio = if (ba > 0) bb.toDouble / ba else Double.NaN
+      println(f"[shuffleaudit] $name bytesA=$ba stagesA=$sa bytesB=$bb stagesB=$sb ratio=$ratio%.2f")
+      (name, ba, sa, bb, sb, ratio)
+    }
+    val gate = math.pow(mult, 1.3)
+    val superlinear = entries.collect {
+      case (n, ba, _, _, _, r) if ba >= MinBytes && r > gate => "\"" + n + "\""
+    }
+    val opsJson = entries.map { case (n, ba, sa, bb, sb, r) =>
+      val rs = if (r.isNaN) "null" else Bench.fnum(r, 2)
+      s""""$n":{"bytes_a":$ba,"stages_a":$sa,"bytes_b":$bb,"stages_b":$sb,"ratio":$rs}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"dir_a":"$dirA","dir_b":"$dirB","mult":${Bench.fnum(mult, 1)},""" +
+        s""""metric":"shuffle bytes written per op (StageInfo.taskMetrics), one run per dir",""" +
+        s""""gate":"ops with bytes_a >= $MinBytes must have ratio <= mult^1.3 = ${Bench.fnum(gate, 1)}",""" +
+        s""""total_bytes_a":${entries.map(_._2).sum},"total_bytes_b":${entries.map(_._4).sum},""" +
+        s""""superlinear_shuffle":${superlinear.mkString("[", ",", "]")},"ops":$opsJson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SHUFFLE_AUDIT.json"),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+}
