@@ -31,6 +31,8 @@ object ShuffleAudit {
 
   final class Acc extends SparkListener {
     val bytes = new AtomicLong
+    val spill = new AtomicLong // memory+disk spill: nonzero = state outgrew the executor
+    val peakMem = new AtomicLong // max per-stage peak execution memory seen
     val shuffleStages = new AtomicInteger
     val events = new AtomicInteger
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -39,6 +41,8 @@ object ShuffleAudit {
         val w = m.shuffleWriteMetrics.bytesWritten
         bytes.addAndGet(w)
         if (w > 0) shuffleStages.incrementAndGet()
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakMem.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
       }
       events.incrementAndGet()
     }
@@ -50,11 +54,20 @@ object ShuffleAudit {
     * (cap 10 s) before reading the counters.
     */
   def measure(acc: Acc)(job: => Unit): (Long, Int) = {
+    val (b, s, _, _) = measureFull(acc)(job)
+    (b, s)
+  }
+
+  /** As [[measure]], plus (spillBytes, peakExecMemory) for the job. */
+  def measureFull(acc: Acc)(job: => Unit): (Long, Int, Long, Long) = {
     drain(acc)
     val b0 = acc.bytes.get; val s0 = acc.shuffleStages.get
+    val sp0 = acc.spill.get
+    acc.peakMem.set(0L)
     job
     drain(acc)
-    (acc.bytes.get - b0, acc.shuffleStages.get - s0)
+    (acc.bytes.get - b0, acc.shuffleStages.get - s0,
+      acc.spill.get - sp0, acc.peakMem.get)
   }
 
   private def drain(acc: Acc): Unit = {
@@ -92,27 +105,35 @@ object ShuffleAudit {
     // (a 40 KB op doubling is a partition-count artifact, not a plan
     // property) — reported, never gated.
     val MinBytes = 256L * 1024
+    case class Row(name: String, ba: Long, sa: Int, spA: Long, pkA: Long,
+                   bb: Long, sb: Int, spB: Long, pkB: Long) {
+      def ratio: Double = if (ba > 0) bb.toDouble / ba else Double.NaN
+    }
     val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (ba, sa) = measure(acc) { fn(spark, dirA).count() }
-      val (bb, sb) = measure(acc) { fn(spark, dirB).count() }
-      val ratio = if (ba > 0) bb.toDouble / ba else Double.NaN
-      println(f"[shuffleaudit] $name bytesA=$ba stagesA=$sa bytesB=$bb stagesB=$sb ratio=$ratio%.2f")
-      (name, ba, sa, bb, sb, ratio)
+      val (ba, sa, spA, pkA) = measureFull(acc) { fn(spark, dirA).count() }
+      val (bb, sb, spB, pkB) = measureFull(acc) { fn(spark, dirB).count() }
+      val r = Row(name, ba, sa, spA, pkA, bb, sb, spB, pkB)
+      println(f"[shuffleaudit] $name bytesA=$ba stagesA=$sa bytesB=$bb stagesB=$sb ratio=${r.ratio}%.2f spillB=$spB peakMemB=$pkB")
+      r
     }
     val gate = math.pow(mult, 1.3)
     val superlinear = entries.collect {
-      case (n, ba, _, _, _, r) if ba >= MinBytes && r > gate => "\"" + n + "\""
+      case r if r.ba >= MinBytes && r.ratio > gate => "\"" + r.name + "\""
     }
-    val opsJson = entries.map { case (n, ba, sa, bb, sb, r) =>
-      val rs = if (r.isNaN) "null" else Bench.fnum(r, 2)
-      s""""$n":{"bytes_a":$ba,"stages_a":$sa,"bytes_b":$bb,"stages_b":$sb,"ratio":$rs}"""
+    val spilled = entries.collect {
+      case r if r.spA + r.spB > 0 => "\"" + r.name + "\""
+    }
+    val opsJson = entries.map { r =>
+      val rs = if (r.ratio.isNaN) "null" else Bench.fnum(r.ratio, 2)
+      s""""${r.name}":{"bytes_a":${r.ba},"stages_a":${r.sa},"bytes_b":${r.bb},"stages_b":${r.sb},"ratio":$rs,"spill_b":${r.spB},"peak_mem_b":${r.pkB}}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"dir_a":"$dirA","dir_b":"$dirB","mult":${Bench.fnum(mult, 1)},""" +
-        s""""metric":"shuffle bytes written per op (StageInfo.taskMetrics), one run per dir",""" +
+        s""""metric":"shuffle bytes written per op (StageInfo.taskMetrics), one run per dir; spill_b/peak_mem_b = spill bytes and max stage peak execution memory at dir_b",""" +
         s""""gate":"ops with bytes_a >= $MinBytes must have ratio <= mult^1.3 = ${Bench.fnum(gate, 1)}",""" +
-        s""""total_bytes_a":${entries.map(_._2).sum},"total_bytes_b":${entries.map(_._4).sum},""" +
-        s""""superlinear_shuffle":${superlinear.mkString("[", ",", "]")},"ops":$opsJson}"""
+        s""""total_bytes_a":${entries.map(_.ba).sum},"total_bytes_b":${entries.map(_.bb).sum},""" +
+        s""""superlinear_shuffle":${superlinear.mkString("[", ",", "]")},""" +
+        s""""spilled_ops":${spilled.mkString("[", ",", "]")},"ops":$opsJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("SHUFFLE_AUDIT.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
