@@ -85,6 +85,11 @@ object ShuffleAudit {
     val dirA = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dirB = args.lift(1).getOrElse("/root/repo/target/tier10")
     val mult = args.lift(2).map(_.toDouble).getOrElse(10.0)
+    // optional op filter + explicit output file, for adjudication runs
+    // (e.g. re-measuring one flagged op between two larger tiers that
+    // sit on the same side of an AQE strategy transition)
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
+    val outOverride: Option[String] = args.lift(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -109,7 +114,9 @@ object ShuffleAudit {
                    bb: Long, sb: Int, spB: Long, pkB: Long) {
       def ratio: Double = if (ba > 0) bb.toDouble / ba else Double.NaN
     }
-    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (ba, sa, spA, pkA) = measureFull(acc) { fn(spark, dirA).count() }
       val (bb, sb, spB, pkB) = measureFull(acc) { fn(spark, dirB).count() }
       val r = Row(name, ba, sa, spA, pkA, bb, sb, spB, pkB)
@@ -134,7 +141,13 @@ object ShuffleAudit {
         s""""total_bytes_a":${entries.map(_.ba).sum},"total_bytes_b":${entries.map(_.bb).sum},""" +
         s""""superlinear_shuffle":${superlinear.mkString("[", ",", "]")},""" +
         s""""spilled_ops":${spilled.mkString("[", ",", "]")},"ops":$opsJson}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SHUFFLE_AUDIT.json"),
+    // the canonical 10x audit keeps its committed name; other tiers get
+    // their own file so the decade evidence accumulates instead of
+    // overwriting
+    val outFile = outOverride.getOrElse(
+      if (mult == 10.0) "SHUFFLE_AUDIT.json"
+      else s"SHUFFLE_AUDIT_${Bench.fnum(mult, 0)}x.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
     println(json)

@@ -79,11 +79,25 @@ object Relational {
 
   // --- q3_topk: join + agg + top-k (TakeOrderedAndProject, no full sort) --
   def q3Topk(s: SparkSession, dir: String): DataFrame = {
+    // Aggregation pushed BELOW the join (Catalyst has no agg-pushdown
+    // rule, so it's done in the plan): revenue is additive per order and
+    // Det.dsum is an exact decimal sum (associative), so pre-aggregating
+    // lineitem by l_orderkey is bit-identical to grouping after the join
+    // — while the join's lineitem side collapses from every line row to
+    // one partial-sum row per orderkey, map-side-combined before the
+    // exchange. The 20x shuffle audit flagged the old plan the moment
+    // AQE's designed broadcast->SMJ transition exposed the full-table
+    // join bytes (ratio 149 at the step, exactly linear on both sides);
+    // this plan shuffles ~order-cardinality bytes in ALL regimes, so at
+    // 100 TB the SMJ exchanges partial sums, never raw line items. The
+    // agg's hash partitioning on l_orderkey is reused by the join: no
+    // extra exchange vs the old plan at small SF either.
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir).filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+    val rev = l.groupBy(col("l_orderkey"))
       .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+    rev.join(o, rev("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
