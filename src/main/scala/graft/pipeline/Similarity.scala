@@ -831,6 +831,21 @@ object Similarity {
   // scale the bucketed table is written bucketCol-bucketed like a25's
   // store and even that exchange disappears. Singleton-bucket vectors
   // yield no rows (no candidates), same as the oracle's join semantics.
+  //
+  // Asymptote past the adaptive-k CEILING (measured, round 10): with k
+  // clamped at kmax, E[bucket] resumes growing ∝ n and the in-bucket
+  // cosine count grows n²/2^k — tier20→tier40 (n 40k→80k, both past
+  // the ceiling) costs 2.50s→7.25s standalone at 32 threads, e≈1.5.
+  // Spark 4 already inserts a PARTIAL WindowGroupLimit below the
+  // exchange (mappers prune to top-GraphK before shuffling), so
+  // shuffle BYTES stay exactly linear (SHUFFLE_AUDIT_Q3ADJ ratio 1.99
+  // at 2×) — the growth is pure in-bucket scoring CPU, inherent to
+  // exact in-bucket ranking at fixed k. The production configuration
+  // therefore does NOT run a 10⁹-vector corpus at kmax=8: it raises
+  // kmax ~ log2(n/256) and grows EmbTables with it to hold recall (the
+  // LSH ρ-exponent trade — total work n^(1+ρ), shuffle linear in T),
+  // or builds the graph per-IVF-partition (s3's codebook) where the
+  // candidate set is bounded by the nlist/nprobe geometry instead.
   val GraphK = 3
 
   def s10KnnGraph(s: SparkSession, dir: String): DataFrame = {
