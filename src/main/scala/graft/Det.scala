@@ -17,7 +17,21 @@ import org.apache.spark.sql.types.DecimalType
   * away from zero (verified: 0.03125 -> 0.0313, -0.03125 -> -0.0313 in
   * both; asserted in PropertySpec) — so per-row casts always agree.
   *
-  * Mirror SQL (DuckDB): `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`.
+  * Mirror SQL (DuckDB): `CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS
+  * VARCHAR) AS DOUBLE)`.
+  *
+  * The final decimal→double conversion matters too (round 11): DuckDB's
+  * direct `CAST(DECIMAL AS DOUBLE)` DOUBLE-ROUNDS — int128 → double,
+  * then / 10^scale, two roundings — and lands exactly 1 ulp off the
+  * correctly-rounded value on ~25% of wide decimals (measured: 50,026 of
+  * 200,000 random DECIMAL(28,6) values; first seen live as q1 sum_charge
+  * at the 5× tier). Spark's `Decimal.toDouble` (BigDecimal.doubleValue)
+  * IS correctly rounded. Routing the oracle through VARCHAR makes DuckDB
+  * correctly rounded as well — decimal→varchar is exact digits,
+  * varchar→double is a single correctly-rounded parse (0 of 200,000
+  * mismatches vs Python's exact conversion) — so both engines emit the
+  * bit-identical IEEE double and the comparator needs NO ulp tolerance
+  * anywhere (the r10 "1-ulp concession" is retired from tools/check.py).
   */
 object Det {
   /** Exact decimal sum of a (possibly computed) double column -> double. */
@@ -32,11 +46,18 @@ object Det {
   def dsumHp(c: Column): Column =
     sum(c.cast(DecimalType(38, 12))).cast("double")
 
-  /** SQL-side equivalents (kept next to the Scala so they can't drift). */
+  /** SQL-side equivalents (kept next to the Scala so they can't drift).
+    * The VARCHAR hop is the correctly-rounded decimal→double path — see
+    * the object scaladoc; use [[sqlD2d]] for any ad-hoc oracle decimal.
+    */
   def sqlDsum(expr: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+    sqlD2d(s"SUM(CAST(($expr) AS DECIMAL(18,$scale)))")
   def sqlDavg(expr: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT(*)"
+    s"${sqlDsum(expr, scale)} / COUNT(*)"
   def sqlDsumHp(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,12))) AS DOUBLE)"
+    sqlD2d(s"SUM(CAST(($expr) AS DECIMAL(38,12)))")
+
+  /** Correctly-rounded DuckDB decimal→double: exact digits, one parse. */
+  def sqlD2d(decimalExpr: String): String =
+    s"CAST(CAST($decimalExpr AS VARCHAR) AS DOUBLE)"
 }

@@ -442,8 +442,8 @@ object ArrayOps {
        |agg AS (
        |  SELECT array_id, COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v,
        |    ${Det.sqlDavg("value")} AS mean_v,
-       |    CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_v,
-       |    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sum_sq
+       |    ${Det.sqlD2d("SUM(CAST(value AS DECIMAL(28,8)))")} AS sum_v,
+       |    ${Det.sqlD2d("SUM(CAST(value * value AS DECIMAL(28,8)))")} AS sum_sq
        |  FROM slice GROUP BY array_id)
        |SELECT array_id, n, min_v, max_v, mean_v,
        |  sqrt(sum_sq / n - (sum_v / n) * (sum_v / n)) AS stddev_v

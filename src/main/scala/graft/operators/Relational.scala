@@ -530,7 +530,7 @@ object Relational {
        |  ${Det.sqlDsum("o_totalprice")} AS total_above
        |FROM orders o
        |WHERE o_totalprice > (
-       |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+       |  SELECT ${Det.sqlDavg("o_totalprice")}
        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -596,7 +596,7 @@ object Relational {
       |  SELECT o_custkey, o_orderkey,
       |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
       |    COUNT(*) OVER w AS n_in_window,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS mov_rev
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS mov_rev
       |  FROM orders
       |  WINDOW w AS (PARTITION BY o_custkey
       |               ORDER BY CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)

@@ -468,47 +468,87 @@ object Dedup {
 
   // --- d5_embed_dedup: embedding-cosine near-dup pairs --------------------
   // Bucketed candidate generation + per-bucket exact verify — the shape
-  // that survives 100 TB. Each vector gets EmbTables sign-LSH bucket ids
-  // (k random hyperplanes per table); vectors shuffle ONCE by their
-  // (table, bucket) key — 24·n·dim bytes, never all-pairs, never a
+  // that survives 100 TB. Each vector gets embTablesFor(k) sign-LSH
+  // bucket ids (k random hyperplanes per table); vectors shuffle ONCE by
+  // their (table, bucket) key — T·n·dim bytes, never all-pairs, never a
   // driver collect — and the exact cosine runs inside each bucket.
   //
-  // k is ADAPTIVE (round 7's one superlinear-trending scale item): the
-  // plan carries a 1-row vector count and every kernel computes
-  // k = clamp(bitLength(n / EmbBucketTarget), EmbKMin, EmbKMax) — pure
-  // integer bit-length, no libm, bit-identical on both engines — so the
-  // expected bucket population stays pinned near EmbBucketTarget as the
-  // corpus grows instead of the in-bucket pair work growing n²/2^k with
-  // k frozen (SCALE_UP r7 measured exponent 0.82 at the 10× probe for
-  // exactly that reason). Plane (t, i) is seeded independently of k
-  // (stride EmbKMax), so growing k EXTENDS each table's plane set
-  // without re-randomizing the prefix.
+  // k is ADAPTIVE (round 7's one superlinear-trending scale item) and,
+  // since round 11, UNCAPPED: the plan carries a 1-row vector count and
+  // every kernel computes k = max(bitLength(n / EmbBucketTarget),
+  // EmbKMin) — pure integer bit-length, no libm, bit-identical on both
+  // engines — so the expected bucket population stays pinned near
+  // EmbBucketTarget at ANY corpus size. Round 10 measured what the old
+  // kmax = 8 clamp cost: past n = 2^kmax·256 the in-bucket pair work
+  // resumed growing n²/2^kmax (e ≈ 1.5 CPU at the tier20→tier40
+  // doubling). Plane (t, i) is seeded independently of k AND of the
+  // table count (see embPlaneId), so growing either EXTENDS the bank
+  // without re-randomizing the prefix: every bucket at k ≤ 8, t < 24 is
+  // bit-identical to the r7–r10 operator.
   //
-  // Recall: per pair 1-(1-(1-θ/π)^k)^T, independent of n. At the test
+  // Recall: per pair 1-(1-p^k)^T with p = 1-θ/π. Pinning bucket size
+  // (growing k) at FIXED T lets recall fall — so T grows WITH k: the
+  // classic LSH ρ-exponent trade (Indyk–Motwani; Gionis et al., VLDB
+  // '99). embTablesFor(k) is the smallest T keeping recall ≥ 0.98 at
+  // the production near-dup band (cos ≥ 0.8 ⇒ p ≈ 0.795), floored at
+  // the historical 24 — so every corpus the gate tiers ≤ 20× reach
+  // (k ≤ 8) keeps EXACTLY the r10 plan, and k = 9 (tier40) activates
+  // T = 29. Cost: T ∝ (n/256)^ρ with ρ = log2(1/p) ≈ 0.33 — total
+  // candidate work and shuffle bytes grow n^(1+ρ), the price of
+  // HOLDING a fixed-threshold recall guarantee while the bucket stays
+  // population-pinned; the alternatives (fixed T: recall decays;
+  // fixed k: CPU goes quadratic) are both worse at 100 TB. At the test
   // SFs (n ≤ 2000) the rule selects k=EmbKMin=3, where T=24 tables
   // cover the synthetic θ≥0.45 band completely (PipelineSpec proves it
   // against all-pairs ground truth at both SFs) — and the oracle
   // replays the SAME bucketed plan, so Spark-vs-oracle equivalence is
-  // by construction. As k grows, recall at a FIXED θ falls — the
-  // threshold the guarantee targets is the production near-dup band
-  // (cos ≥ 0.8, plane-agreement p ≈ 0.8), where even k=8/T=24 keeps
-  // recall ≥ 0.98; holding full recall at the synthetic θ=0.45 while
-  // pinning bucket size would need T to grow with k (the classic LSH
-  // ρ-exponent cost), which trades the shuffle linearly for it.
-  val EmbTables = 24
+  // by construction.
+  val EmbTablesBase = 24
   val EmbKMin = 3
-  val EmbKMax = 8
   val EmbBucketTarget = 256
+  val EmbRecall = 0.98
+  /** Plane-agreement probability at the production band edge cos = 0.8:
+    * p = 1 − arccos(0.8)/π. StrictMath, so the table below is the same
+    * bit pattern in every JVM that generates oracle text or runs the
+    * kernel.
+    */
+  val EmbBandP: Double = 1.0 - StrictMath.acos(0.8) / StrictMath.PI
 
-  /** clamp(bitLength(n / target), 3, 8): bitLength(q) = 64 - nlz(q) =
+  /** Oracle unroll depth (tables × planes are literal text in the DuckDB
+    * mirror): k = 12 admits n < 2¹²·256 = 1,048,576 vectors — 6.5× the
+    * largest persisted tier (tier80, n = 160k → k = 10). Past it the
+    * oracle raises via error() instead of silently truncating buckets;
+    * the OPERATOR has no such bound (planes are generated on demand).
+    */
+  val EmbOracleK = 12
+
+  /** max(bitLength(n / target), 3): bitLength(q) = 64 - nlz(q) =
     * floor(log2 q) + 1 for q ≥ 1, 0 at q = 0 — the exact integer log2
-    * quantization the oracle mirrors with length(bin(q)).
+    * quantization the oracle mirrors with length(bin(q)). No upper
+    * clamp (round 11); bitLength of a Long-addressable q tops out at
+    * 55, within the Long bucket's 62 usable bits.
     */
   def embK(n: Long): Int = {
     val q = n / EmbBucketTarget
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(q)
-    math.min(EmbKMax, math.max(EmbKMin, bits))
+    math.max(EmbKMin, bits)
   }
+
+  /** Smallest T with band recall 1-(1-p^k)^T ≥ EmbRecall, floored at the
+    * historical EmbTablesBase = 24 (so k ≤ 8 keeps the exact r10 plan:
+    * the formula's T(8) = 23 < 24). Closed form
+    * ceil(ln(1-R)/ln(1-p^k)); StrictMath throughout, memoized — the
+    * oracle embeds the same values as integer literals, so no libm ever
+    * crosses the engine boundary at query time.
+    */
+  private val embTablesMemo = new java.util.concurrent.ConcurrentHashMap[Int, Int]
+  def embTablesFor(k: Int): Int =
+    embTablesMemo.computeIfAbsent(k, k => {
+      val miss = 1.0 - StrictMath.pow(EmbBandP, k.toDouble)
+      val t = StrictMath.ceil(
+        StrictMath.log(1.0 - EmbRecall) / StrictMath.log(miss)).toInt
+      math.max(EmbTablesBase, t)
+    })
 
   /** splitmix64 — decorrelated plane coefficients (the LCG used for s2's
     * four planes shows visible correlation across 72 planes).
@@ -520,14 +560,25 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** Uniform [-1,1) hyperplanes; dyadic rationals, so the decimal literal
-    * in the oracle parses to the bit-identical double. Bank of
-    * EmbTables × EmbKMax planes; plane (t, i) lives at t*EmbKMax + i so
-    * its coefficients do not depend on how many planes a given corpus
-    * size activates.
+  /** Plane-bank layout, frozen for bit-compatibility: the r7–r10 bank
+    * materialized plane (t, i) at linear index t·8 + i for the 24 tables
+    * × 8 planes it could ever activate. The round-11 uncapped bank keeps
+    * that region VERBATIM (so every gate artifact at k ≤ 8 is unchanged)
+    * and maps all new coordinates — higher planes of legacy tables,
+    * whole new tables — into the disjoint region 192 + t·64 + i
+    * (injective for i < 64, any t; always ≥ 192). The literals 24/8/192
+    * here are the legacy layout's dimensions, not operating limits.
     */
-  val embPlanes: Seq[Seq[Double]] = (0 until EmbTables * EmbKMax).map { p =>
-    (0 until Similarity.Dims).map { d =>
+  def embPlaneId(t: Int, i: Int): Long =
+    if (t < 24 && i < 8) t * 8L + i else 192L + t * 64L + i
+
+  /** Uniform [-1,1) hyperplane (t, i); dyadic rationals, so the decimal
+    * literal in the oracle parses to the bit-identical double. Generated
+    * on demand for ANY (t, i) — the bank has no size.
+    */
+  def embPlaneVals(t: Int, i: Int): Array[Double] = {
+    val p = embPlaneId(t, i)
+    Array.tabulate(Similarity.Dims) { d =>
       (splitmix64(p * 64L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     }
   }
@@ -535,23 +586,32 @@ object Dedup {
   private def planeLitSql(p: Seq[Double]): String =
     "[" + p.map(x => new java.math.BigDecimal(x).toPlainString).mkString(", ") + "]"
 
-  private val embPlanesArr: Array[Array[Double]] = embPlanes.map(_.toArray).toArray
+  /** Memoized [t][i] plane matrix for one (tCount, k) working set — one
+    * volatile map read per row instead of tCount·k lookups.
+    */
+  private val embMatrixMemo =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Array[Double]]]]
+  private def embPlaneMatrix(tCount: Int, k: Int): Array[Array[Array[Double]]] =
+    embMatrixMemo.computeIfAbsent(tCount.toLong << 32 | k, _ =>
+      Array.tabulate(tCount, k)((t, i) => embPlaneVals(t, i)))
 
-  /** Bucket ids of one vector against the static planes — the primitive
-    * form of the oracle's CASE/list_reduce expressions, identical fold
-    * order (left-to-right from 0.0), so the sign decisions are
-    * bit-identical. Runs once per vector; 72 dots of 64 terms is ~10ms
-    * across the whole sf0.1 table in fused loops, where the equivalent
+  /** Bucket ids of one vector against the first k planes of tables
+    * 0 until tCount — the primitive form of the oracle's
+    * CASE/list_reduce expressions, identical fold order (left-to-right
+    * from 0.0), so the sign decisions are bit-identical. Runs once per
+    * vector; T·k dots of 64 terms in fused loops, where the equivalent
     * higher-order-function column costs seconds interpreted.
     */
-  private def kernelBuckets(emb: Array[Double], k: Int): Array[Long] = {
-    val out = new Array[Long](EmbTables)
+  private[graft] def kernelBuckets(emb: Array[Double], k: Int, tCount: Int): Array[Long] = {
+    val planes = embPlaneMatrix(tCount, k)
+    val out = new Array[Long](tCount)
     var t = 0
-    while (t < EmbTables) {
+    while (t < tCount) {
+      val row = planes(t)
       var b = 0L
       var i = 0
       while (i < k) {
-        val p = embPlanesArr(t * EmbKMax + i)
+        val p = row(i)
         var acc = 0.0
         var d = 0
         while (d < p.length) { acc += emb(d) * p(d); d += 1 }
@@ -564,19 +624,19 @@ object Dedup {
     out
   }
 
-  /** One table's bucket as SQL, k-GENERIC: the full EmbKMax-plane bank is
-    * unrolled and each bit is gated on `i < k` (k rides in from the params
-    * CTE), replaying kernelBuckets' "first k planes" rule for WHATEVER k
-    * the adaptive rule selects — the oracle no longer needs a k=EmbKMin
-    * unroll guard (s2's oracle set the pattern). The CASE puts the gate
-    * first, so DuckDB's lazy branch evaluation skips the inactive planes'
-    * dots entirely.
+  /** One table's bucket as SQL, k-GENERIC: an EmbOracleK-deep plane
+    * unroll, each bit gated on `i < k` (k rides in from the params CTE),
+    * replaying kernelBuckets' "first k planes" rule for every k the gate
+    * tiers can select — past the unroll the params CTE raises instead of
+    * truncating (s2's oracle set the pattern). The CASE puts the gate
+    * first, so DuckDB's lazy branch evaluation skips the inactive
+    * planes' dots entirely.
     */
   private def embBucketSqlExpr(t: Int): String =
-    (0 until EmbKMax).map { i =>
+    (0 until EmbOracleK).map { i =>
       val dot =
         s"""list_reduce(list_prepend(0.0,
-           |      list_transform(range(1, 65), i -> emb[i] * (${planeLitSql(embPlanes(t * EmbKMax + i))})[i])),
+           |      list_transform(range(1, 65), i -> emb[i] * (${planeLitSql(embPlaneVals(t, i).toSeq)})[i])),
            |      (acc, x) -> acc + x)""".stripMargin
       s"CASE WHEN $i >= k THEN 0 WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString(" + ")
@@ -603,8 +663,10 @@ object Dedup {
     normed.crossJoin(broadcast(nRow))
       .as[(Long, Array[Double], Double, Long)]
       .mapPartitions(_.flatMap { case (id, emb, norm, n) =>
-        val bs = kernelBuckets(emb, embK(n))
-        (0 until EmbTables).iterator.map(t => (t, bs(t), id, emb, norm))
+        val k = embK(n)
+        val tCount = embTablesFor(k)
+        val bs = kernelBuckets(emb, k, tCount)
+        (0 until tCount).iterator.map(t => (t, bs(t), id, emb, norm))
       })
       .toDF("tbl", "bkt", "vec_id", "emb", "norm")
       .as[(Int, Long, Long, Array[Double], Double)]
@@ -647,26 +709,38 @@ object Dedup {
   }
 
   val d5Sql: String = {
-    val buckets = (0 until EmbTables)
-      .map(t => s"CAST(${embBucketSqlExpr(t)} AS BIGINT)").mkString(",\n    ")
+    val oracleT = embTablesFor(EmbOracleK)
+    val buckets = (0 until oracleT)
+      .map(t => s"CASE WHEN $t >= t_cnt THEN 0 ELSE CAST(${embBucketSqlExpr(t)} AS BIGINT) END")
+      .mkString(",\n    ")
+    // t_cnt lookup: embTablesFor(k) for k = EmbKMin..EmbOracleK, baked
+    // as integer literals so no libm runs in SQL (1-indexed: k-EmbKMin+1)
+    val tTable = (EmbKMin to EmbOracleK).map(embTablesFor).mkString("[", ", ", "]")
     // params mirrors embK bit-exactly: length(bin(q)) = bitLength(q) for
-    // q >= 1 (no libm), clamped to [EmbKMin, EmbKMax]. The plane bank is
-    // fully unrolled to EmbKMax and each bit gated on its index vs k
-    // (see embBucketSqlExpr), so the SAME oracle text verifies every k
-    // the adaptive rule can select — the driver gate now covers the
-    // adaptive branch instead of error()ing outside k=EmbKMin.
+    // q >= 1 (no libm), floored at EmbKMin, UNCAPPED (round 11). The
+    // plane bank is unrolled to EmbOracleK planes × embTablesFor(
+    // EmbOracleK) tables, each bit gated on its index vs k and each
+    // table on its index vs t_cnt, so the SAME oracle text verifies
+    // every k the gate tiers can select; past the unroll it raises
+    // loudly (error()) instead of silently truncating — an unroll-depth
+    // guard on the verification TEXT, not a branch guard that blinds
+    // the gate to reachable regimes (the r9 defect this replaced).
     s"""WITH ${Similarity.normedSql},
        |params AS (
-       |  SELECT LEAST($EmbKMax, GREATEST($EmbKMin,
+       |  SELECT CASE WHEN k > $EmbOracleK THEN CAST(error(
+       |      'd5 oracle bank unrolled to $EmbOracleK planes (n < ${EmbBucketTarget.toLong << EmbOracleK}); got k=' || k)
+       |      AS INT) ELSE k END AS k,
+       |    ($tTable)[k - ${EmbKMin - 1}] AS t_cnt
+       |  FROM (SELECT GREATEST($EmbKMin,
        |          CASE WHEN n // $EmbBucketTarget = 0 THEN 0
-       |               ELSE length(bin(n // $EmbBucketTarget)) END)) AS k
-       |  FROM (SELECT COUNT(*) AS n FROM normed)),
+       |               ELSE length(bin(n // $EmbBucketTarget)) END) AS k
+       |  FROM (SELECT COUNT(*) AS n FROM normed))),
        |bucketed AS (
        |  SELECT vec_id, [$buckets] AS buckets
        |  FROM normed CROSS JOIN params),
        |exploded AS (
        |  SELECT vec_id, tbl, buckets[tbl + 1] AS bkt
-       |  FROM bucketed CROSS JOIN (SELECT unnest(range(0, $EmbTables)) AS tbl)),
+       |  FROM bucketed CROSS JOIN (SELECT unnest(range(0, t_cnt)) AS tbl FROM params)),
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
        |  FROM exploded l JOIN exploded r

@@ -134,75 +134,92 @@ object Similarity {
        |ORDER BY q_id, rnk""".stripMargin
 
   // --- s2_lsh_ann: random-hyperplane buckets + in-bucket exact top-3 ------
-  // k (planes, so 2^k buckets) is ADAPTIVE exactly like d5's (round 8):
-  // frozen k means per-query candidate work grows as n/2^k — linear in
-  // the corpus — while k = clamp(bitLength(n/target), kmin, kmax) pins
-  // the expected bucket population. The vector count rides the plan as a
-  // broadcast 1-row aggregate and the bucket expression gates each
-  // plane's bit on i < k, so the SAME declarative plan serves every
-  // corpus size and the oracle replays it k-generically (no unroll
-  // guard needed, unlike d5's kernel-side k). At the verify SFs
-  // (n = 500 / 2000 → q = n/256 < 16) the rule selects k = S2KMin = 4 —
-  // bit-identical to the pre-adaptive operator.
+  // k (planes, so 2^k buckets) is ADAPTIVE exactly like d5's (round 8)
+  // and, since round 11, UNCAPPED: frozen k means per-query candidate
+  // work grows as n/2^k — linear in the corpus — and a CLAMPED k merely
+  // defers the same growth to n > 2^kmax·target (round 10 measured s10's
+  // in-bucket CPU at e ≈ 1.54 past the old kmax = 8 ceiling). Now
+  // k = max(kmin, bitLength(n/target)) with no upper clamp: the bucket is
+  // the native [[graft.functions.SignLshBucket]] kernel, which generates
+  // planes on demand from the SAME LCG the old unrolled bank used (every
+  // bucket at k ≤ 8 is bit-identical to r7–r10), so E[bucket] stays
+  // pinned near the target at ANY corpus size. The only residual bound
+  // is the Long bucket type's 62 bits — reached at n = 2⁶² · 256 rows,
+  // past what a Long row count can address. The vector count rides the
+  // plan as a broadcast 1-row aggregate; the oracle replays the bank
+  // k-generically via an S2OracleK-deep unroll gated on i < k, guarded
+  // loudly (error()) past its unroll — a verification-artifact depth,
+  // not an operator ceiling. At the verify SFs (n = 500 / 2000 →
+  // q = n/256 < 16) the rule selects k = S2KMin = 4 — bit-identical to
+  // the pre-adaptive operator.
   val S2KMin = 4
-  val S2KMax = 8
   val S2BucketTarget = 256
-  /** Deterministic pseudo-random hyperplanes in [-1,1): LCG over (p,d).
-    * Values are dyadic rationals -> exact decimal literals -> both engines
-    * parse the identical double. Bank of S2KMax planes; the first S2KMin
-    * are unchanged from the fixed-k operator, so small corpora keep their
+
+  /** Oracle unroll depth: the DuckDB text carries S2OracleK gated plane
+    * literals, covering every k the gate tiers can select — k = 12 admits
+    * n < 2¹²·256 = 1,048,576 vectors, 6.5× the largest persisted tier
+    * (tier80, n = 160k → k = 10). Past it the oracle raises via error()
+    * instead of silently truncating the bucket. The OPERATOR has no such
+    * bound (planes are generated on demand in the kernel).
+    */
+  val S2OracleK = 12
+
+  /** Deterministic pseudo-random hyperplanes in [-1,1): LCG over (p,d)
+    * (see [[graft.functions.SignLshImpl.coeff]] — the kernel and this
+    * oracle bank share one formula). Values are dyadic rationals ->
+    * exact decimal literals -> both engines parse the identical double.
+    * Materialized to S2OracleK here only for the oracle text and the
+    * specs' ground-truth recomputation; the first S2KMin planes are
+    * unchanged from the fixed-k operator, so small corpora keep their
     * exact historical buckets.
     */
-  val planes: Seq[Seq[Double]] = (0 until S2KMax).map { p =>
-    (0 until 64).map { d =>
-      val v = (1103515245L * (p * 64 + d) + 12345L) % 2147483648L
-      v.toDouble / 2147483648.0 * 2.0 - 1.0
-    }
+  val planes: Seq[Seq[Double]] = (0 until S2OracleK).map { p =>
+    (0 until 64).map(d => graft.functions.SignLshImpl.coeff(p, d))
   }
-
-  private def litPlane(p: Seq[Double]): Column =
-    array(p.map(lit(_)): _*)
 
   private def planeSqlList(p: Seq[Double]): String =
     "[" + p.map(x => new java.math.BigDecimal(x).toPlainString).mkString(", ") + "]"
 
-  /** clamp(bitLength(n_vec / target), kmin, kmax) as a column —
-    * length(bin(q)) is the exact integer log₂ quantization both engines
-    * agree on (the d5/t9 doctrine; no libm anywhere near the plan).
+  /** max(bitLength(n_vec / target), kmin) as a column — length(bin(q))
+    * is the exact integer log₂ quantization both engines agree on (the
+    * d5/t9 doctrine; no libm anywhere near the plan). No upper clamp:
+    * see the s2 block comment.
     */
   private def s2KCol: Column = {
     val q = expr(s"n_vec div $S2BucketTarget")
-    least(lit(S2KMax), greatest(lit(S2KMin),
-      when(q === 0, lit(0)).otherwise(length(bin(q)))))
+    greatest(lit(S2KMin),
+      when(q === 0, lit(0)).otherwise(length(bin(q))))
   }
 
-  /** Sign-bucket id as a pure column expression (plane literals fold to
-    * constant ArrayData; the dot is the native fused loop). Plane i
-    * contributes its bit only when i < k.
+  /** Sign-bucket id — one native fused kernel call (planes generated on
+    * demand inside, memoized process-wide), codegen-compact where an
+    * unrolled gated-DotProduct column tree at useful bank depths would
+    * blow the consumer's JIT budget.
     */
   def bucketCol(k: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val dot = graft.functions.DotProduct(col("emb"), litPlane(p))
-      when(lit(i) < k && dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.SignLshBucket(col("emb"), k)
 
   /** k-generic oracle mirror: references alias `k` (cross-joined params
-    * CTE).
+    * CTE). Gate-first CASE so DuckDB's lazy branch evaluation skips the
+    * inactive planes' dots entirely.
     */
   def bucketSqlExpr(emb: String): String =
     planes.zipWithIndex.map { case (p, i) =>
       val dot = s"""list_reduce(list_prepend(0.0,
                    |  list_transform(range(1, 65), i -> $emb[i] * (${planeSqlList(p)})[i])),
                    |  (acc, x) -> acc + x)""".stripMargin
-      s"CASE WHEN $i < k AND $dot > 0 THEN ${1L << i} ELSE 0 END"
+      s"CASE WHEN $i >= k THEN 0 WHEN $dot > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString(" + ")
 
   val s2ParamsSql: String =
     s"""params AS (
-       |  SELECT LEAST($S2KMax, GREATEST($S2KMin,
+       |  SELECT CASE WHEN k > $S2OracleK THEN CAST(error(
+       |      's2 oracle bank unrolled to $S2OracleK planes (n < ${S2BucketTarget.toLong << S2OracleK}); got k=' || k)
+       |      AS INT) ELSE k END AS k
+       |  FROM (SELECT GREATEST($S2KMin,
        |    CASE WHEN n // $S2BucketTarget = 0 THEN 0
-       |         ELSE length(bin(n // $S2BucketTarget)) END)) AS k
-       |  FROM (SELECT COUNT(*) AS n FROM normed))""".stripMargin
+       |         ELSE length(bin(n // $S2BucketTarget)) END) AS k
+       |  FROM (SELECT COUNT(*) AS n FROM normed)))""".stripMargin
 
   def s2LshAnn(s: SparkSession, dir: String): DataFrame = {
     val n0 = normed(s, dir)
@@ -832,20 +849,25 @@ object Similarity {
   // store and even that exchange disappears. Singleton-bucket vectors
   // yield no rows (no candidates), same as the oracle's join semantics.
   //
-  // Asymptote past the adaptive-k CEILING (measured, round 10): with k
-  // clamped at kmax, E[bucket] resumes growing ∝ n and the in-bucket
-  // cosine count grows n²/2^k — tier20→tier40 (n 40k→80k, both past
-  // the ceiling) costs 2.50s→7.25s standalone at 32 threads, e≈1.5.
-  // Spark 4 already inserts a PARTIAL WindowGroupLimit below the
-  // exchange (mappers prune to top-GraphK before shuffling), so
-  // shuffle BYTES stay exactly linear (SHUFFLE_AUDIT_Q3ADJ ratio 1.99
-  // at 2×) — the growth is pure in-bucket scoring CPU, inherent to
-  // exact in-bucket ranking at fixed k. The production configuration
-  // therefore does NOT run a 10⁹-vector corpus at kmax=8: it raises
-  // kmax ~ log2(n/256) and grows EmbTables with it to hold recall (the
-  // LSH ρ-exponent trade — total work n^(1+ρ), shuffle linear in T),
-  // or builds the graph per-IVF-partition (s3's codebook) where the
-  // candidate set is bounded by the nlist/nprobe geometry instead.
+  // Round 10 measured the ceiling this operator used to carry: with k
+  // CLAMPED at kmax = 8, E[bucket] resumed growing ∝ n past
+  // n = 2^kmax·256 and the in-bucket cosine count grew n²/2^k —
+  // tier20→tier40 (n 40k→80k, both past the old ceiling) cost
+  // 2.50s→7.25s standalone at 32 threads, e ≈ 1.54. Round 11 REMOVED
+  // the clamp (see the s2 block comment / SignLshBucket): k =
+  // max(kmin, bitLength(n/256)) uncapped, planes generated on demand,
+  // so E[bucket] stays pinned in [128, 256) at any corpus size and the
+  // per-vector candidate count is a CONSTANT — total scoring CPU is
+  // linear in n all the way up (tier40→tier80 doubling re-measured at
+  // the new k = 9→10 transition; see SCALE_UP_80x.json). The single
+  // bucket assignment needs no table-count growth: this operator's
+  // contract is in-bucket top-k (graph recall is a corpus-level
+  // property the s9 matrix tracks), unlike d5's fixed-threshold pair
+  // recall, which is what pays the ρ-exponent table growth. Spark 4's
+  // partial WindowGroupLimit prunes to top-GraphK below the exchange,
+  // so shuffle bytes were linear even under the old clamp (ratio 1.99
+  // at the 2× doubling) — the clamp removal fixes the CPU term and
+  // leaves the byte story untouched.
   val GraphK = 3
 
   def s10KnnGraph(s: SparkSession, dir: String): DataFrame = {

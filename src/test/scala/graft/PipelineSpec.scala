@@ -707,11 +707,17 @@ class PipelineSpec extends SparkSpec {
     // one perturbed near-duplicate per base (cos ~ 0.94), so the band is
     // exactly the 1280 constructed pairs and recall misses are loud.
     assert(Dedup.embK(2560) == 4 && Dedup.embK(2000) == 3)
-    // the oracle is k-generic (round 10): full plane bank gated on i < k,
-    // no unroll guard — a reintroduced error() would blind the driver gate
-    // to this adaptive branch again
-    assert(!Dedup.d5Sql.contains("error("),
-      "d5Sql must stay k-generic (no unroll-guard error())")
+    // the oracle is k-generic (round 10): plane bank gated on i < k for
+    // every k up to the unroll depth. Round 11 uncapped k itself, so the
+    // text now carries ONE guard — at the unroll depth EmbOracleK, past
+    // which it raises instead of silently truncating buckets. That depth
+    // must stay strictly above every gate-reachable k (tier80 = 160k
+    // vectors -> k = 10), or the guard starts blinding the driver gate
+    // to reachable adaptive regimes again (the r9 defect).
+    assert(Dedup.EmbOracleK >= Dedup.embK(1000000L - 1),
+      s"d5 oracle unroll (${Dedup.EmbOracleK}) below gate-tier headroom")
+    assert(Dedup.d5Sql.contains(s"k > ${Dedup.EmbOracleK} THEN"),
+      "d5Sql must guard exactly at the unroll depth, nowhere below")
     val dims = Similarity.Dims
     val half = 1280
     def u01(x0: Long): Double = { // splitmix64-style mix to [-1, 1)
@@ -762,7 +768,9 @@ class PipelineSpec extends SparkSpec {
     // bank with the operator's fold semantics and matching the operator's
     // output bucket column — and by checking the k=4 bucket would differ
     // for at least one query (so the assertion cannot pass vacuously).
-    assert(Similarity.S2KMin == 4 && Similarity.S2KMax == 8)
+    // round 11: k is uncapped; the oracle-unroll depth must keep strict
+    // headroom over every gate-reachable k (tier80 -> k = 10)
+    assert(Similarity.S2KMin == 4 && Similarity.S2OracleK >= 12)
     val dims = Similarity.Dims
     def u01(x0: Long): Double = {
       var z = x0 + 0x9E3779B97F4A7C15L
@@ -810,7 +818,7 @@ class PipelineSpec extends SparkSpec {
       .toMap
     val q = vecs.size.toLong / Similarity.S2BucketTarget
     val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(q)
-    val k = math.min(Similarity.S2KMax, math.max(Similarity.S2KMin, bitLen))
+    val k = math.max(Similarity.S2KMin, bitLen) // uncapped since round 11
     def bucketOf(v: Array[Double]): Long =
       (0 until k).map { i =>
         var acc = 0.0
@@ -886,7 +894,7 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Seq[Double]]("emb").toArray, r.getAs[Double]("norm"))).toSeq
     val q = vecs.size.toLong / Similarity.S2BucketTarget
     val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(q)
-    val k = math.min(Similarity.S2KMax, math.max(Similarity.S2KMin, bitLen))
+    val k = math.max(Similarity.S2KMin, bitLen) // uncapped since round 11
     def bucketOf(v: Array[Double]): Long =
       (0 until k).map { i =>
         var acc = 0.0
@@ -1055,5 +1063,166 @@ class PipelineSpec extends SparkSpec {
       }
     }
     assert(got.size == 15, s"expected 5 queries x top-3, got ${got.size} rows")
+  }
+
+  test("uncapped k: adaptive rules have no ceiling and pin E[bucket]") {
+    // round 11: the kmax=8 clamp (r10's one measured scale defect —
+    // in-bucket CPU e≈1.54 past the ceiling) is gone from BOTH rules
+    assert(Dedup.embK(40000) == 8 && Dedup.embK(80000) == 9 &&
+      Dedup.embK(160000) == 10, "tier20/40/80 k progression")
+    assert(Dedup.embK(1L << 40) == 33, "no clamp: k keeps tracking n")
+    // E[bucket] = n/2^k stays in [128, 256) for every n >= 256*8
+    Seq(80000L, 160000L, 1L << 20, 1L << 30, 1L << 40).foreach { n =>
+      val e = n.toDouble / (1L << Dedup.embK(n)).toDouble
+      assert(e >= 128.0 && e < 256.0, s"E[bucket] unpinned at n=$n: $e")
+    }
+  }
+
+  test("d5 table growth: embTablesFor is the exact rho-exponent schedule") {
+    // independent recomputation of the closed form at the production
+    // band (cos >= 0.8 => p = 1 - acos(0.8)/pi), floored at the
+    // historical 24 so every k <= 8 corpus keeps the bit-identical r10
+    // plan (the raw formula gives T(8) = 23)
+    val p = 1.0 - StrictMath.acos(0.8) / StrictMath.PI
+    (3 to 20).foreach { k =>
+      val raw = StrictMath.ceil(
+        StrictMath.log(0.02) / StrictMath.log(1.0 - StrictMath.pow(p, k))).toInt
+      assert(Dedup.embTablesFor(k) == math.max(24, raw),
+        s"T($k): ${Dedup.embTablesFor(k)} != max(24, $raw)")
+      // the schedule's point: band recall holds at every k
+      val recall = 1.0 - StrictMath.pow(
+        1.0 - StrictMath.pow(p, k), Dedup.embTablesFor(k).toDouble)
+      assert(recall >= 0.98, s"band recall broken at k=$k: $recall")
+    }
+    // pinned values the tier gates exercise (tier40 k=9, tier80 k=10)
+    assert((3 to 8).forall(Dedup.embTablesFor(_) == 24), "legacy region")
+    assert(Dedup.embTablesFor(9) == 29 && Dedup.embTablesFor(10) == 37 &&
+      Dedup.embTablesFor(12) == 60)
+    assert((3 to 30).sliding(2).forall(w =>
+      Dedup.embTablesFor(w.head) <= Dedup.embTablesFor(w.last)), "monotone")
+  }
+
+  test("d5 extended plane bank: legacy region verbatim, new region disjoint") {
+    // legacy (t < 24, i < 8): embPlaneVals must reproduce the r10 bank's
+    // splitmix64(p*64+d) at p = t*8+i, recomputed here from scratch
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def legacy(p: Long, d: Int): Double =
+      (mix(p * 64L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    for (t <- 0 until 24; i <- 0 until 8) {
+      val got = Dedup.embPlaneVals(t, i)
+      (0 until 64).foreach { d =>
+        assert(got(d) == legacy(t * 8L + i, d),
+          s"legacy plane ($t,$i) dim $d drifted")
+      }
+    }
+    // layout injectivity: every id in the working set any gate tier can
+    // touch (t < 60, i < 12) is unique, and extended ids never collide
+    // with the legacy region [0, 192)
+    val ids = for (t <- 0 until 60; i <- 0 until 12) yield Dedup.embPlaneId(t, i)
+    assert(ids.distinct.size == ids.size, "plane-id collision")
+    assert(ids.filter(_ >= 192).forall(id => id >= 192 + 8),
+      "extended region must start past the legacy stride")
+    assert(!(for (t <- 24 until 60; i <- 0 until 12) yield Dedup.embPlaneId(t, i))
+      .exists(_ < 192), "new tables leaked into the legacy region")
+  }
+
+  test("d5 kernel at k=9/T=29: from-scratch recount of the extended bank") {
+    // the exact (k, T) the tier40 gate exercises, proven against an
+    // independent recomputation of splitmix planes through the layout
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def plane(t: Int, i: Int): Array[Double] = {
+      val p = if (t < 24 && i < 8) t * 8L + i else 192L + t * 64L + i
+      Array.tabulate(64)(d =>
+        (mix(p * 64L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+    }
+    def u01(x0: Long): Double = (mix(x0) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    val vecs = Array.tabulate(32, 64)((v, d) => u01(v * 8191L + d))
+    vecs.zipWithIndex.foreach { case (emb, v) =>
+      val got = Dedup.kernelBuckets(emb, 9, 29)
+      assert(got.length == 29)
+      (0 until 29).foreach { t =>
+        var expect = 0L
+        (0 until 9).foreach { i =>
+          val p = plane(t, i)
+          var acc = 0.0
+          (0 until 64).foreach(d => acc += emb(d) * p(d))
+          if (acc > 0) expect |= 1L << i
+        }
+        assert(got(t) == expect, s"vec $v table $t: ${got(t)} != $expect")
+      }
+      // bit 8 must actually activate somewhere, or k=9 is vacuous here
+    }
+    assert(vecs.exists(emb =>
+      Dedup.kernelBuckets(emb, 9, 29).exists(b => (b & (1L << 8)) != 0)),
+      "no vector exercises the 9th plane; seed needs changing")
+    assert(Dedup.kernelBuckets(vecs(0), 9, 24).length == 24 &&
+      Dedup.kernelBuckets(vecs(0), 3, 24).length == 24,
+      "tCount drives the output arity")
+    // the legacy prefix of the extended run equals the pure-legacy run's
+    // low bits: growing k or T never re-randomizes what came before
+    vecs.take(4).foreach { emb =>
+      val ext = Dedup.kernelBuckets(emb, 9, 29)
+      val leg = Dedup.kernelBuckets(emb, 8, 24)
+      (0 until 24).foreach { t =>
+        assert((ext(t) & 0xFFL) == leg(t),
+          s"table $t: k=9 low bits ${ext(t) & 0xFFL} != k=8 bucket ${leg(t)}")
+      }
+    }
+  }
+
+  test("s2 SignLshBucket expression: k=10 matches the LCG fold, eval==codegen") {
+    import spark.implicits._
+    def lcg(p: Int, d: Int): Double = {
+      val v = (1103515245L * (p * 64L + d) + 12345L) % 2147483648L
+      v.toDouble / 2147483648.0 * 2.0 - 1.0
+    }
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def u01(x0: Long): Double = (mix(x0) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    val vecs = Array.tabulate(64, 64)((v, d) => u01(v * 524287L + d))
+    def bucketOf(emb: Array[Double], k: Int): Long =
+      (0 until k).map { i =>
+        var acc = 0.0
+        (0 until 64).foreach(d => acc += emb(d) * lcg(i, d))
+        if (acc > 0) 1L << i else 0L
+      }.sum
+    val df = vecs.zipWithIndex.map { case (v, id) => (id.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "emb")
+    Seq(4, 8, 10).foreach { k =>
+      val got = df.select(col("vec_id"),
+          Similarity.bucketCol(lit(k)).as("bucket"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      vecs.zipWithIndex.foreach { case (v, id) =>
+        assert(got(id.toLong) == bucketOf(v, k),
+          s"k=$k vec $id: ${got(id.toLong)} != ${bucketOf(v, k)}")
+      }
+    }
+    // past the old kmax=8 ceiling, planes 8/9 must actually flip bits
+    assert(vecs.exists(v => bucketOf(v, 10) != bucketOf(v, 8)),
+      "no vector exercises planes 8-9; seed needs changing")
+    // interpreted eval must agree with the codegen'd path the plan used
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val bound = graft.functions.SignLshBucket(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = false),
+      Literal(10))
+    val row = InternalRow(ArrayData.toArrayData(vecs(0)))
+    assert(bound.eval(row) == bucketOf(vecs(0), 10), "interpreted eval drifted")
   }
 }

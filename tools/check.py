@@ -47,32 +47,16 @@ def compare(name, sdf, odf, notes=None):
             issues.append(f"dtype[{c}]: spark={sv.dtype} oracle={ov.dtype}")
         try:
             if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+                # STRICT bitwise equality, no ulp tolerance. The one
+                # historical concession (DuckDB's DECIMAL->DOUBLE cast
+                # double-rounds, 1 ulp off on ~25% of wide decimals) was
+                # retired in round 11 by fixing the ORACLE: Det.sqlD2d
+                # routes every decimal->double through VARCHAR, a single
+                # correctly-rounded parse matching Spark's
+                # BigDecimal.doubleValue exactly.
                 a = np.asarray(sv.values, dtype=np.float64)
                 b = np.asarray(ov.values, dtype=np.float64)
                 eq = (a == b) | (pd.isna(a) & pd.isna(b))
-                # DuckDB's DECIMAL->DOUBLE cast double-rounds (int128 ->
-                # double, then /10^scale) and can land exactly 1 ulp off
-                # the correctly-rounded value Spark's
-                # BigDecimal.doubleValue() produces (observed: q1
-                # sum_charge at the 5x tier, exact decimal ...470795 ->
-                # DuckDB ...470797 while Spark/python give ...470795).
-                # Concede EXACTLY 1 ulp on finite mismatches, loudly
-                # annotated so it cannot hide real drift.
-                fin = np.where(np.isfinite(a) & np.isfinite(b) & ~eq)[0]
-                if len(fin):
-                    ia = a[fin].view(np.int64)
-                    ib = b[fin].view(np.int64)
-                    ia = np.where(ia < 0, np.int64(-2**63) - ia, ia)
-                    ib = np.where(ib < 0, np.int64(-2**63) - ib, ib)
-                    close = np.abs(ia - ib) <= 1
-                    if close.any():
-                        eq[fin[close]] = True
-                        msg = (f"values[{c}]: {int(close.sum())} value(s) "
-                               "conceded at 1 ulp (DuckDB decimal->double "
-                               "double-rounding)")
-                        print(f"   note {name}: {msg}")
-                        if notes is not None:
-                            notes.append(msg)
             else:
                 eq = (sv.astype(str).values == ov.astype(str).values)
             bad = np.where(~eq)[0]
