@@ -143,10 +143,16 @@ object ShuffleAudit {
         s""""spilled_ops":${spilled.mkString("[", ",", "]")},"ops":$opsJson}"""
     // the canonical 10x audit keeps its committed name; other tiers get
     // their own file so the decade evidence accumulates instead of
-    // overwriting
-    val outFile = outOverride.getOrElse(
-      if (mult == 10.0) "SHUFFLE_AUDIT.json"
-      else s"SHUFFLE_AUDIT_${Bench.fnum(mult, 0)}x.json")
+    // overwriting. A FILTERED run must never default onto a full-
+    // inventory artifact's name (its totals/superlinear/spilled lists
+    // would silently become subset-only) — without an explicit override
+    // it gets a _SUBSET-suffixed file.
+    val outFile = outOverride.getOrElse {
+      val base =
+        if (mult == 10.0) "SHUFFLE_AUDIT"
+        else s"SHUFFLE_AUDIT_${Bench.fnum(mult, 0)}x"
+      if (only.isDefined) s"${base}_SUBSET.json" else s"$base.json"
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

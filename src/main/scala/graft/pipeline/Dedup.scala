@@ -736,21 +736,26 @@ object Dedup {
        |               ELSE length(bin(n // $EmbBucketTarget)) END) AS k
        |  FROM (SELECT COUNT(*) AS n FROM normed))),
        |bucketed AS (
-       |  SELECT vec_id, [$buckets] AS buckets
+       |  SELECT vec_id, emb, norm, [$buckets] AS buckets
        |  FROM normed CROSS JOIN params),
        |exploded AS (
-       |  SELECT vec_id, tbl, buckets[tbl + 1] AS bkt
-       |  FROM bucketed CROSS JOIN (SELECT unnest(range(0, t_cnt)) AS tbl FROM params)),
-       |cand AS (
-       |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-       |  FROM exploded l JOIN exploded r
-       |    ON l.tbl = r.tbl AND l.bkt = r.bkt AND l.vec_id < r.vec_id)
-       |SELECT id_a, id_b,
-       |  ${Similarity.cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} AS cosine
-       |FROM cand JOIN normed a ON id_a = a.vec_id JOIN normed b ON id_b = b.vec_id
-       |WHERE ${Similarity.cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} >= 0.45
+       |  SELECT vec_id, emb, norm, tbl, buckets[tbl + 1] AS bkt
+       |  FROM bucketed CROSS JOIN (SELECT unnest(range(0, t_cnt)) AS tbl FROM params))
+       |SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+       |  ${Similarity.cosineSql("l.emb", "r.emb", "l.norm", "r.norm")} AS cosine
+       |FROM exploded l JOIN exploded r
+       |  ON l.tbl = r.tbl AND l.bkt = r.bkt AND l.vec_id < r.vec_id
+       |WHERE ${Similarity.cosineSql("l.emb", "r.emb", "l.norm", "r.norm")} >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
   }
+  // The final SELECT mirrors the OPERATOR's streaming shape exactly:
+  // cosine is computed INSIDE the bucket join and the >= 0.45 filter
+  // runs BEFORE the distinct, so the oracle — like the kernel — never
+  // materializes the O(n·E[bucket]·T) candidate set (the pre-r11 shape
+  // built a DISTINCT id-pair table first, then re-joined embeddings:
+  // ~180M pairs x 1 KB at the 40x tier, which OOM'd even a spilling
+  // DuckDB; the distinct over the tiny filtered survivor set is exact
+  // because a pair's cosine is bit-identical in every colliding table).
 
   // --- d7_dup_groups: duplicate-group assembly (connected components) -----
   // The step after candidate generation in every dedup pipeline: pairs are

@@ -77,6 +77,19 @@ def main():
     json_out = os.environ.get("GRAFT_CHECK_JSON")
     results = {}
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp_directory, so blocking operators
+    # (distinct/join/sort) OOM instead of spilling once the candidate
+    # volume of a brute oracle outgrows RAM (first hit: d5's T=29
+    # self-join at the 40x tier). Give it a spill dir + a bounded
+    # memory budget so tier-scale oracles go out-of-core like any
+    # real engine would.
+    con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
+    con.execute("SET memory_limit='48GB'")
+    # insertion-order preservation buffers entire join outputs in order
+    # (226M rows x 1KB at d5/tier40 -> OOM at any memory_limit); every
+    # oracle ends in an explicit ORDER BY, so result order never depends
+    # on this setting
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.isdir(p):
