@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   *    bit-identical to the original corpus, cross-replica cosines are
   *    sign-scrambled to random-like. (float · ±1f is exact.)
   *
-  * Both LSH families adapt k in-plan since round 8 (d5:
-  * k = clamp(bitLength(n/256), 3, 8) kernel-side; s2: the same rule as a
-  * gated column expression, kmin 4) — the probe's 10× corpus activates a
-  * larger k on both and measures the adaptation for real. The probe
-  * measures the SHIPPED configuration honestly instead of a re-tuned one.
+  * Both LSH families adapt k in-plan (round 8; UNCAPPED since round 11:
+  * d5 k = max(bitLength(n/256), 3) with table count embTablesFor(k) on
+  * the LSH ρ-exponent schedule; s2 the same rule, kmin 4, via the native
+  * SignLshBucket expression) — a larger probe corpus activates a larger
+  * k (and for d5 a larger T) and measures the adaptation for real. The
+  * probe measures the SHIPPED configuration honestly, not a re-tuned one.
   */
 object ScaleProbe {
 
@@ -131,7 +132,7 @@ object ScaleProbe {
     val json =
       s"""{"mult":$mult,"main_sf":"$mainDir","doc_ratio":${Bench.fnum(docRatio, 1)},""" +
         s""""emb_ratio":${Bench.fnum(embRatio, 1)},"timing":"min of 4 after warm + GC barrier",""" +
-        s""""note":"d5 and s2 both adapt k in-plan since round 8 (clamp(bitLength(n/256), kmin, 8)); bucket population pinned as n grows (SURVEY par.5)",""" +
+        s""""note":"d5 and s2 adapt k in-plan UNCAPPED since r11 (k=max(bitLength(n/256),kmin); d5 table count embTablesFor(k) on the rho-exponent schedule); bucket population pinned at any n (SURVEY par.5)",""" +
         s""""ops":${entries.mkString("{", ",", "}")}}"""
     // mult 5 is the long-standing SCALE_UP.json artifact; other tiers get
     // their own file so a larger probe extends the record without

@@ -859,7 +859,7 @@ object Similarity {
   // so E[bucket] stays pinned in [128, 256) at any corpus size and the
   // per-vector candidate count is a CONSTANT — total scoring CPU is
   // linear in n all the way up (tier40→tier80 doubling re-measured at
-  // the new k = 9→10 transition; see SCALE_UP_80x.json). The single
+  // the new k = 9→10 transition; see SCALE_UP_T40T80.json). The single
   // bucket assignment needs no table-count growth: this operator's
   // contract is in-bucket top-k (graph recall is a corpus-level
   // property the s9 matrix tracks), unlike d5's fixed-threshold pair

@@ -84,12 +84,20 @@ def main():
     # memory budget so tier-scale oracles go out-of-core like any
     # real engine would.
     con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("GRAFT_CHECK_MEM", "48GB"))
     # insertion-order preservation buffers entire join outputs in order
     # (226M rows x 1KB at d5/tier40 -> OOM at any memory_limit); every
     # oracle ends in an explicit ORDER BY, so result order never depends
     # on this setting
     con.execute("SET preserve_insertion_order=false")
+    # 32 threads each carrying their own join/aggregate scratch can
+    # exhaust the SYSTEM allocator (malloc "bad allocation", below any
+    # memory_limit) on the big self-join oracles; tier-scale invocations
+    # bound the worker count (the verified-good d5/tier40 run used 16)
+    threads = os.environ.get("GRAFT_CHECK_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.isdir(p):
