@@ -507,6 +507,26 @@ object Dedup {
   val EmbKMin = 3
   val EmbBucketTarget = 256
   val EmbRecall = 0.98
+
+  /** Per-bucket candidate band (round 11, shared doctrine with s10 and
+    * d2/d4's df-capped kernel): within one (table, bucket) group —
+    * vec_id-sorted, so position is deterministic — a vector is scored
+    * only against the EmbBandW rows after it. Rationale: the adaptive k
+    * pins E[bucket] near EmbBucketTarget but CANNOT split near-duplicate
+    * clusters (nearly identical vectors agree on every plane sign at any
+    * k), so the per-table quadratic mass Σ|b|² is dominated by the
+    * cluster tail — measured on the s2 bank: Σ|b|² grew e ≈ 1.7 per
+    * corpus doubling across tier40/80/160 while E[bucket] stayed at 156.
+    * The band caps per-bucket work AND output at |b|·W regardless of
+    * cluster shape. Semantics: buckets ≤ W+1 rows (the whole uniform
+    * regime, W = EmbBucketTarget) are scored completely — banding
+    * engages only on oversized cluster buckets, where it keeps every
+    * position-adjacent pair, so the pair set still CONNECTS the cluster
+    * (what downstream grouping consumes); individual far-apart pairs
+    * inside a giant cluster are the sacrificed redundancy. The oracle
+    * replays pos/band verbatim.
+    */
+  val EmbBandW = 256
   /** Plane-agreement probability at the production band edge cos = 0.8:
     * p = 1 − arccos(0.8)/π. StrictMath, so the table below is the same
     * bit pattern in every JVM that generates oracle text or runs the
@@ -689,7 +709,10 @@ object Dedup {
         }.takeWhile(_.isDefined).flatMap { g =>
           val grp = g.get
           grp.indices.iterator.flatMap { i =>
-            (i + 1 until grp.length).iterator.flatMap { j =>
+            // banded verify: only the EmbBandW positions after i (see the
+            // EmbBandW scaladoc — exact for |bucket| <= W+1, linear on
+            // cluster-skew tails)
+            (i + 1 until math.min(i + 1 + EmbBandW, grp.length)).iterator.flatMap { j =>
               val (ia, ea, na) = grp(i)
               val (ib, eb, nb) = grp(j)
               var acc = 0.0
@@ -739,12 +762,15 @@ object Dedup {
        |  SELECT vec_id, emb, norm, [$buckets] AS buckets
        |  FROM normed CROSS JOIN params),
        |exploded AS (
-       |  SELECT vec_id, emb, norm, tbl, buckets[tbl + 1] AS bkt
+       |  SELECT vec_id, emb, norm, tbl, buckets[tbl + 1] AS bkt,
+       |    ROW_NUMBER() OVER (PARTITION BY tbl, buckets[tbl + 1]
+       |                       ORDER BY vec_id) AS pos
        |  FROM bucketed CROSS JOIN (SELECT unnest(range(0, t_cnt)) AS tbl FROM params))
        |SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
        |  ${Similarity.cosineSql("l.emb", "r.emb", "l.norm", "r.norm")} AS cosine
        |FROM exploded l JOIN exploded r
        |  ON l.tbl = r.tbl AND l.bkt = r.bkt AND l.vec_id < r.vec_id
+       |  AND r.pos - l.pos <= $EmbBandW
        |WHERE ${Similarity.cosineSql("l.emb", "r.emb", "l.norm", "r.norm")} >= 0.45
        |ORDER BY id_a, id_b""".stripMargin
   }
@@ -756,6 +782,11 @@ object Dedup {
   // ~180M pairs x 1 KB at the 40x tier, which OOM'd even a spilling
   // DuckDB; the distinct over the tiny filtered survivor set is exact
   // because a pair's cosine is bit-identical in every colliding table).
+  // The r.pos - l.pos <= EmbBandW join predicate replays the kernel's
+  // banded inner loop: within a vec_id-sorted (tbl, bkt) group, pos
+  // rank order IS the kernel's buffer order, and l.vec_id < r.vec_id
+  // implies l.pos < r.pos, so "j - i <= W" and "r.pos - l.pos <= W"
+  // select the same pairs.
 
   // --- d7_dup_groups: duplicate-group assembly (connected components) -----
   // The step after candidate generation in every dedup pipeline: pairs are

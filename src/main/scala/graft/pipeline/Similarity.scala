@@ -851,37 +851,68 @@ object Similarity {
   //
   // Round 10 measured the ceiling this operator used to carry: with k
   // CLAMPED at kmax = 8, E[bucket] resumed growing ∝ n past
-  // n = 2^kmax·256 and the in-bucket cosine count grew n²/2^k —
-  // tier20→tier40 (n 40k→80k, both past the old ceiling) cost
-  // 2.50s→7.25s standalone at 32 threads, e ≈ 1.54. Round 11 REMOVED
-  // the clamp (see the s2 block comment / SignLshBucket): k =
-  // max(kmin, bitLength(n/256)) uncapped, planes generated on demand,
-  // so E[bucket] stays pinned in [128, 256) at any corpus size and the
-  // per-vector candidate count is a CONSTANT — total scoring CPU is
-  // linear in n all the way up (tier40→tier80 doubling re-measured at
-  // the new k = 9→10 transition; see SCALE_UP_T40T80.json). The single
-  // bucket assignment needs no table-count growth: this operator's
-  // contract is in-bucket top-k (graph recall is a corpus-level
-  // property the s9 matrix tracks), unlike d5's fixed-threshold pair
-  // recall, which is what pays the ρ-exponent table growth. Spark 4's
-  // partial WindowGroupLimit prunes to top-GraphK below the exchange,
-  // so shuffle bytes were linear even under the old clamp (ratio 1.99
-  // at the 2× doubling) — the clamp removal fixes the CPU term and
-  // leaves the byte story untouched.
+  // n = 2^kmax·256 and the in-bucket cosine count grew n²/2^k. Round 11
+  // first REMOVED the clamp (see the s2 block comment / SignLshBucket):
+  // k = max(kmin, bitLength(n/256)) uncapped, planes generated on
+  // demand, so E[bucket] stays pinned in [128, 256) at any corpus size.
+  // Then the round's executed-plan audit (ProbeExec, tier160) showed
+  // that pinning the MEAN is not enough: the quadratic candidate mass
+  // Σ|b|² is dominated by the skew tail, because near-duplicate
+  // clusters — which every training corpus has, and which sign-LSH by
+  // design co-buckets — share one bucket at ANY plane count (nearly
+  // identical vectors have identical sign patterns; more planes split
+  // distinct directions, never copies). Measured (ProbeBuckets):
+  // E[bucket] = 156 at every tier, but max|bucket| 1.8k→3.3k→6.0k and
+  // Σ|b|² 53M→165M→538M across tier40/80/160 (e ≈ 1.7 per doubling) —
+  // the in-bucket self-join emitted 1.08e9 rows at tier160 and the
+  // top-k sort spilled 33 GB.
+  //
+  // The fix is the same doctrine as d2/d4's df-capped kernel: BOUND the
+  // per-vector candidate set deterministically. Within each bucket,
+  // rank members by vec_id (pos), and let a vector's candidates be the
+  // members within S10BandW positions on either side. Executed as a
+  // band join — band = (pos-1) div W; the probe side explodes to its
+  // own + adjacent bands, the join keys on (bucket, band), and the
+  // |Δpos| ≤ W filter trims the corners. Δpos ≤ W implies band
+  // distance ≤ 1, so the band join loses nothing: the candidate set is
+  // exactly {Δpos ≤ W}. Properties:
+  //  - EXACT in-bucket top-k whenever |bucket| ≤ W+1 — the entire
+  //    uniform regime, since the adaptive k pins E[bucket] ∈ [128,256)
+  //    and W = 256. Banding engages only on skew-tail (cluster)
+  //    buckets, where members are near-duplicates of each other and
+  //    any W neighbors are the true top-k up to near-ties.
+  //  - Every join group is ≤ W rows BY CONSTRUCTION — skew is
+  //    eliminated structurally, not mitigated: per-vector work ≤ 2W
+  //    candidates, total scoring CPU ≤ 2W·n at any corpus shape, and
+  //    the top-k sort input is bounded the same way (no spill).
+  //  - One extra linear shuffle (the pos window by bucket) vs the old
+  //    plan; the downstream per-vec_id window rides Spark 4's partial
+  //    WindowGroupLimit, which prunes to GraphK per vector below its
+  //    exchange, so the final shuffle is ~3 rows per vector.
+  // The oracle replays pos/band/Δpos verbatim, so the gate stays a
+  // bit-exact replay at every tier.
   val GraphK = 3
+  val S10BandW = 256
 
   def s10KnnGraph(s: SparkSession, dir: String): DataFrame = {
     val n0 = normed(s, dir)
     val nRow = n0.groupBy().agg(count(lit(1)).as("n_vec"))
     val e = n0.crossJoin(broadcast(nRow))
       .withColumn("bucket", bucketCol(s2KCol))
-      .drop("n_vec")
-    val nbrs = e.select(col("vec_id").as("nb_id"), col("bucket"),
+      .drop("n_vec", "label")
+    val p = e.withColumn("pos", row_number().over(
+        Window.partitionBy("bucket").orderBy("vec_id")).cast("long"))
+      .withColumn("band", expr(s"(pos - 1) div $S10BandW"))
+    val probe = p.withColumn("pband",
+      explode(array(col("band") - 1, col("band"), col("band") + 1)))
+    val nbrs = p.select(col("vec_id").as("nb_id"), col("bucket").as("nb_bucket"),
+      col("band").as("nb_band"), col("pos").as("nb_pos"),
       col("emb").as("nb_emb"), col("norm").as("nb_norm"))
-    val w = Window.partitionBy("bucket", "vec_id")
-      .orderBy(col("cosine").desc, col("nb_id"))
-    e.join(nbrs, Seq("bucket"))
-      .filter(col("vec_id") =!= col("nb_id"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nb_id"))
+    probe.join(nbrs,
+        col("bucket") === col("nb_bucket") && col("pband") === col("nb_band"))
+      .filter(col("vec_id") =!= col("nb_id") &&
+        abs(col("pos") - col("nb_pos")) <= S10BandW)
       .withColumn("cosine", cosine(col("emb"), col("nb_emb"), col("norm"), col("nb_norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= GraphK)
@@ -896,11 +927,16 @@ object Similarity {
        |  SELECT vec_id, emb, norm,
        |    CAST(${bucketSqlExpr("emb")} AS BIGINT) AS bucket
        |  FROM normed, params),
+       |pos AS (
+       |  SELECT vec_id, emb, norm, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS pos
+       |  FROM bucketed),
        |scored AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
        |    ${cosineSql("a.emb", "b.emb", "a.norm", "b.norm")} AS cosine
-       |  FROM bucketed a JOIN bucketed b
-       |    ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+       |  FROM pos a JOIN pos b
+       |    ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+       |    AND abs(a.pos - b.pos) <= $S10BandW),
        |ranked AS (
        |  SELECT vec_id, neighbor_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id

@@ -883,12 +883,16 @@ class PipelineSpec extends SparkSpec {
 
   test("s10 knn graph: full JVM recount of every vector's in-bucket top-k") {
     // ground truth: recompute buckets (operator's exact fold semantics at
-    // the adaptive k this corpus selects) and each vector's in-bucket
-    // top-GraphK by cosine with the same left-to-right accumulation, then
-    // compare the WHOLE graph row-for-row — this also proves the
-    // (bucket, vec_id) window partitioning trick ranks identically to a
-    // plain per-vec_id window, since the recount knows nothing of buckets
-    // beyond candidate generation.
+    // the adaptive k this corpus selects) and each vector's banded
+    // in-bucket top-GraphK by cosine with the same left-to-right
+    // accumulation, then compare the WHOLE graph row-for-row. The recount
+    // replays the round-11 candidate bound from the DEFINITION — members
+    // within S10BandW positions of the vec_id-ordered bucket ranking —
+    // knowing nothing of the band-join execution device, so it also
+    // proves the explode/adjacent-band join emits exactly {Δpos ≤ W},
+    // each pair once. (At this SF every bucket is ≤ W+1 rows, so the
+    // banded graph equals the full in-bucket graph; BandedBucketSpec
+    // exercises the truncating regime on a synthetic cluster corpus.)
     val vecs = Similarity.normed(spark, sf).collect()
       .map(r => (r.getAs[Long]("vec_id"),
         r.getAs[Seq[Double]]("emb").toArray, r.getAs[Double]("norm"))).toSeq
@@ -904,9 +908,12 @@ class PipelineSpec extends SparkSpec {
       }.sum
     val byBucket = vecs.groupBy { case (_, v, _) => bucketOf(v) }
     val expected = byBucket.values.flatMap { members =>
-      members.flatMap { case (id, v, n) =>
-        members.filter(_._1 != id)
-          .map { case (nid, nv, nn) =>
+      val ordered = members.sortBy(_._1).zipWithIndex // pos = index + 1
+      ordered.flatMap { case ((id, v, n), i) =>
+        ordered
+          .filter { case ((nid, _, _), j) =>
+            nid != id && math.abs(i - j) <= Similarity.S10BandW }
+          .map { case ((nid, nv, nn), _) =>
             var acc = 0.0
             for (d <- 0 until Similarity.Dims) acc += v(d) * nv(d)
             (nid, acc / (n * nn))
@@ -914,7 +921,7 @@ class PipelineSpec extends SparkSpec {
           .sortBy { case (nid, c) => (-c, nid) }
           .take(Similarity.GraphK)
           .zipWithIndex
-          .map { case ((nid, c), i) => (id, (i + 1).toLong, nid, c) }
+          .map { case ((nid, c), j) => (id, (j + 1).toLong, nid, c) }
       }
     }.toSeq.sortBy { case (id, r, _, _) => (id, r) }
     val got = Similarity.s10KnnGraph(spark, sf).collect()
