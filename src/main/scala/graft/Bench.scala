@@ -11,8 +11,25 @@ object Bench {
     * block — sized (and spec-guarded, BenchFormatSpec) to fit the tail.
     * Full-precision timings, per-run raw times, storage stats, regression
     * flags and the scaling exponents go to [[FullPath]] for the judge.
+    *
+    * Dual-ownership fix (round 12): [[RefPath]] is the COMMITTED
+    * idle-machine reference — written only when GRAFT_BENCH_COMMIT=1 is
+    * set by a deliberate clean-conditions run — while every run (the
+    * driver's included) writes [[FullPath]], which is gitignored. A
+    * driver bench under host contention can no longer silently overwrite
+    * the clean artifact (round 11: committed 33.82s vs driver-hot
+    * 37.96s, adjudicated post-hoc). Both files carry load1_start/
+    * load1_end so a hot run self-identifies either way.
     */
-  val FullPath = "BENCH_FULL.json"
+  val RefPath = "BENCH_FULL.json"
+  val FullPath = "BENCH_FULL_LIVE.json"
+
+  /** 1-min system load average — recorded at bench start/end in every
+    * artifact so contaminated wall-clock self-identifies (idle machine
+    * here reads ~0-2; the r11 contended run would have read ~17+).
+    */
+  def load1(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   /** build.sbt sets `Global / showSuccess := false`, so sbt no longer
     * appends its ~76-char `[success] Total time: ...` trailer after the
@@ -122,10 +139,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // previous round's full bench, read BEFORE overwriting: the per-query
-    // regression gate below flags anything >2x its last-round time, so a
-    // 13x (round 5's d9) can never ship unflagged again
-    val prev = previousTimes(FullPath)
+    // previous round's full bench, read from the COMMITTED clean
+    // reference (never the live file — a hot run must not become the
+    // next gate's baseline): the per-query regression gate below flags
+    // anything >2x its last-round time, so a 13x (round 5's d9) can
+    // never ship unflagged again
+    val prev = previousTimes(RefPath)
+    val loadStart = load1()
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -242,9 +262,14 @@ object Bench {
     }.getOrElse("")
 
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min of $Runs after warm + GC barrier; gate flags rechecked standalone in-run","failed":$failedJson,"sf":"$sfDir"$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min of $Runs after warm + GC barrier; gate flags rechecked standalone in-run","failed":$failedJson,"load1_start":${fnum(loadStart, 2)},"load1_end":${fnum(load1(), 2)},"sf":"$sfDir"$scaling}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(FullPath),
       (full + "\n").getBytes("UTF-8"))
+    // the committed clean reference is refreshed only on an explicitly
+    // idle-machine run (GRAFT_BENCH_COMMIT=1) — see RefPath scaladoc
+    if (sys.env.get("GRAFT_BENCH_COMMIT").contains("1"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(RefPath),
+        (full + "\n").getBytes("UTF-8"))
 
     val line = compactLine(results.map(r => (r._1, r._2.min)), failed, total, sfDir)
     // stop() BEFORE the println: the line must be the last stdout in the

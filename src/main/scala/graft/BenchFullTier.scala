@@ -42,6 +42,7 @@ object BenchFullTier {
     // round 10: st8 is no longer skipped — its whitelist admits the tier
     // generator's "x<replica>"-suffixed types under the base type's quota
     // (Streams.St8BasePattern), so all 111 ops time on the tier files.
+    val loadStart = Bench.load1()
     val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val tMain = time(fn, mainDir)
       val tTier = time(fn, tierDir)
@@ -63,6 +64,7 @@ object BenchFullTier {
         s""""total_sf01":${f3(entries.map(_._2).sum)},"total_tier":${f3(entries.map(_._3).sum)},""" +
         s""""superlinear":${superlinear.mkString("[", ",", "]")},""" +
         s""""skipped":{},""" +
+        s""""load1_start":${Bench.fnum(loadStart, 2)},"load1_end":${Bench.fnum(Bench.load1(), 2)},""" +
         s""""ops":$opsJson}"""
     val outFile = mult match {
       case 5  => "BENCH_FULL_SF05.json"

@@ -134,6 +134,7 @@ object BenchTier {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    val loadStart = Bench.load1()
     val entries = Headline.map { name =>
       val fn = SparkEntry.queries(name)
       val tMain = time(fn, mainDir)
@@ -159,7 +160,9 @@ object BenchTier {
       s"""{"tier":"$tierName (deterministic ${mult}x of sf0.1, all tables)","mult":$mult,""" +
         s""""main_sf":"$mainDir","timing":"min of $Runs after warm + GC barrier",""" +
         s""""total_sf01":${f3(entries.map(_._2).sum)},"total_tier":${f3(entries.map(_._3).sum)},""" +
-        s""""superlinear":${superlinear.mkString("[", ",", "]")},"ops":$opsJson}"""
+        s""""superlinear":${superlinear.mkString("[", ",", "]")},""" +
+        s""""load1_start":${Bench.fnum(loadStart, 2)},"load1_end":${Bench.fnum(Bench.load1(), 2)},""" +
+        s""""ops":$opsJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -23,7 +23,7 @@ object TimeOp {
       }
       println(f"[timeop] $name rows=${times.head._2} " +
         times.map(t => f"${t._1}%.3f").mkString("times=[", ", ", "]") +
-        f" min=${times.map(_._1).min}%.3f")
+        f" min=${times.map(_._1).min}%.3f load1=${Bench.load1()}%.2f")
     }
     spark.stop()
   }

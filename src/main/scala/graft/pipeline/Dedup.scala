@@ -518,15 +518,22 @@ object Dedup {
     * cluster tail — measured on the s2 bank: Σ|b|² grew e ≈ 1.7 per
     * corpus doubling across tier40/80/160 while E[bucket] stayed at 156.
     * The band caps per-bucket work AND output at |b|·W regardless of
-    * cluster shape. Semantics: buckets ≤ W+1 rows (the whole uniform
-    * regime, W = EmbBucketTarget) are scored completely — banding
-    * engages only on oversized cluster buckets, where it keeps every
-    * position-adjacent pair, so the pair set still CONNECTS the cluster
-    * (what downstream grouping consumes); individual far-apart pairs
-    * inside a giant cluster are the sacrificed redundancy. The oracle
-    * replays pos/band verbatim.
+    * cluster shape. Semantics: buckets ≤ W+1 rows are scored
+    * completely. W = 512 = 2·EmbBucketTarget (round 12; was 256): the
+    * adaptive k pins E[bucket] ∈ [128, 256), so W = EmbBucketTarget put
+    * W+1 INSIDE the uniform Poisson range near the top of a k-band
+    * (E ≈ 230–255, σ ≈ 16 ⇒ |b| > 257 is routine) — the r11 "whole
+    * uniform regime" comment overclaimed. At W = 2·target a uniform
+    * bucket truncates only on a ≥ 16σ excursion, so banding engages
+    * only on genuine near-dup cluster buckets, where it keeps every
+    * position-adjacent pair: the pair set still CONNECTS the cluster
+    * (what downstream d7 grouping consumes — BAND_RECALL.json proves
+    * the banded and exact pair sets yield IDENTICAL connected
+    * components on the skewed tiers); individual far-apart pairs
+    * inside a giant cluster are the sacrificed redundancy, measured
+    * there as pair recall. The oracle replays pos/band verbatim.
     */
-  val EmbBandW = 256
+  val EmbBandW = 512
   /** Plane-agreement probability at the production band edge cos = 0.8:
     * p = 1 − arccos(0.8)/π. StrictMath, so the table below is the same
     * bit pattern in every JVM that generates oracle text or runs the
@@ -671,7 +678,15 @@ object Dedup {
     * and nothing ever touches the driver. Left-to-right accumulation from
     * 0.0 keeps the IEEE result bit-identical to the oracle's list_reduce.
     */
-  def d5EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+  def d5EmbedDedup(s: SparkSession, dir: String): DataFrame =
+    d5EmbedDedupBanded(s, dir, EmbBandW)
+
+  /** Band width as a parameter — the shipped operator pins
+    * w = EmbBandW; BandRecall passes an effectively-infinite width too
+    * (exact full in-bucket verify) to measure the band's pair-recall and
+    * connected-component cost on real skewed tiers.
+    */
+  private[graft] def d5EmbedDedupBanded(s: SparkSession, dir: String, bandW: Int): DataFrame = {
     import s.implicits._
     val normed = Similarity.normed(s, dir).select("vec_id", "emb", "norm")
     // the vector count rides the plan as a broadcast 1-row aggregate
@@ -709,10 +724,11 @@ object Dedup {
         }.takeWhile(_.isDefined).flatMap { g =>
           val grp = g.get
           grp.indices.iterator.flatMap { i =>
-            // banded verify: only the EmbBandW positions after i (see the
+            // banded verify: only the bandW positions after i (see the
             // EmbBandW scaladoc — exact for |bucket| <= W+1, linear on
-            // cluster-skew tails)
-            (i + 1 until math.min(i + 1 + EmbBandW, grp.length)).iterator.flatMap { j =>
+            // cluster-skew tails); long arithmetic so an effectively-
+            // infinite width (BandRecall's exact arm) cannot overflow
+            (i + 1 until math.min(i.toLong + 1L + bandW, grp.length.toLong).toInt).iterator.flatMap { j =>
               val (ia, ea, na) = grp(i)
               val (ib, eb, nb) = grp(j)
               var acc = 0.0

@@ -180,12 +180,24 @@ object Similarity {
   private def planeSqlList(p: Seq[Double]): String =
     "[" + p.map(x => new java.math.BigDecimal(x).toPlainString).mkString(", ") + "]"
 
-  /** max(bitLength(n_vec / target), kmin) as a column — length(bin(q))
-    * is the exact integer log₂ quantization both engines agree on (the
-    * d5/t9 doctrine; no libm anywhere near the plan). No upper clamp:
-    * see the s2 block comment.
+  /** The s2 adaptive-k rule as a scalar — THE definition, mirrored by
+    * [[s2KCol]] for in-plan use and called by diagnostics (ProbeBuckets)
+    * so a rule change can never leave a probe measuring a stale k
+    * (round-12 ADVICE closure; Dedup.embK is the d5 twin).
     */
-  private def s2KCol: Column = {
+  def s2K(n: Long): Int = {
+    val q = n / S2BucketTarget
+    math.max(S2KMin, 64 - java.lang.Long.numberOfLeadingZeros(q))
+  }
+
+  /** [[s2K]] as a column — length(bin(q)) is the exact integer log₂
+    * quantization both engines agree on (the d5/t9 doctrine; no libm
+    * anywhere near the plan). Scalar↔column parity is pinned directly in
+    * BandedBucketSpec (value sweep across the k-band edges) and
+    * indirectly by every s2/s10 ground-truth recount, which derives k
+    * from the scalar rule. No upper clamp: see the s2 block comment.
+    */
+  private[graft] def s2KCol: Column = {
     val q = expr(s"n_vec div $S2BucketTarget")
     greatest(lit(S2KMin),
       when(q === 0, lit(0)).otherwise(length(bin(q))))
@@ -876,11 +888,20 @@ object Similarity {
   // |Δpos| ≤ W filter trims the corners. Δpos ≤ W implies band
   // distance ≤ 1, so the band join loses nothing: the candidate set is
   // exactly {Δpos ≤ W}. Properties:
-  //  - EXACT in-bucket top-k whenever |bucket| ≤ W+1 — the entire
-  //    uniform regime, since the adaptive k pins E[bucket] ∈ [128,256)
-  //    and W = 256. Banding engages only on skew-tail (cluster)
-  //    buckets, where members are near-duplicates of each other and
-  //    any W neighbors are the true top-k up to near-ties.
+  //  - EXACT in-bucket top-k whenever |bucket| ≤ W+1. W = 512 =
+  //    2·S2BucketTarget (round 12; was 256): the adaptive k pins
+  //    E[bucket] ∈ [128, 256), so at W = 256 a bucket near the top of a
+  //    k-band (E ≈ 230–255, σ = √E ≈ 16) crossed W+1 on ordinary
+  //    Poisson fluctuation — truncation in the uniform regime, not just
+  //    on clusters (the r11 comment overclaimed "entire uniform
+  //    regime"). At W = 512 a uniform bucket needs a ≥ 16σ excursion to
+  //    truncate, so the truncation regime is, to within e⁻¹⁰⁰-class
+  //    events, exactly the cluster-skew tail: near-duplicate groups
+  //    that co-bucket at any plane count. There any W neighbors are
+  //    near-ties of the true top-k — a claim MEASURED, not asserted,
+  //    since round 12: BAND_RECALL.json records banded-vs-exact
+  //    recall@GraphK and cosine regret on the skewed tiers, and
+  //    BandedBucketSpec pins a floor on a synthetic cluster corpus.
   //  - Every join group is ≤ W rows BY CONSTRUCTION — skew is
   //    eliminated structurally, not mitigated: per-vector work ≤ 2W
   //    candidates, total scoring CPU ≤ 2W·n at any corpus shape, and
@@ -892,9 +913,17 @@ object Similarity {
   // The oracle replays pos/band/Δpos verbatim, so the gate stays a
   // bit-exact replay at every tier.
   val GraphK = 3
-  val S10BandW = 256
+  val S10BandW = 512
 
-  def s10KnnGraph(s: SparkSession, dir: String): DataFrame = {
+  def s10KnnGraph(s: SparkSession, dir: String): DataFrame =
+    s10KnnGraphBanded(s, dir, S10BandW)
+
+  /** The band width as a parameter — the shipped operator pins
+    * w = S10BandW; BandRecall passes both the shipped width and an
+    * effectively-infinite one (exact full in-bucket graph) to measure
+    * what the band sacrifices on real skewed tiers.
+    */
+  private[graft] def s10KnnGraphBanded(s: SparkSession, dir: String, bandW: Int): DataFrame = {
     val n0 = normed(s, dir)
     val nRow = n0.groupBy().agg(count(lit(1)).as("n_vec"))
     val e = n0.crossJoin(broadcast(nRow))
@@ -902,7 +931,7 @@ object Similarity {
       .drop("n_vec", "label")
     val p = e.withColumn("pos", row_number().over(
         Window.partitionBy("bucket").orderBy("vec_id")).cast("long"))
-      .withColumn("band", expr(s"(pos - 1) div $S10BandW"))
+      .withColumn("band", expr(s"(pos - 1) div ${bandW.toLong}"))
     val probe = p.withColumn("pband",
       explode(array(col("band") - 1, col("band"), col("band") + 1)))
     val nbrs = p.select(col("vec_id").as("nb_id"), col("bucket").as("nb_bucket"),
@@ -912,7 +941,7 @@ object Similarity {
     probe.join(nbrs,
         col("bucket") === col("nb_bucket") && col("pband") === col("nb_band"))
       .filter(col("vec_id") =!= col("nb_id") &&
-        abs(col("pos") - col("nb_pos")) <= S10BandW)
+        abs(col("pos") - col("nb_pos")) <= bandW.toLong)
       .withColumn("cosine", cosine(col("emb"), col("nb_emb"), col("norm"), col("nb_norm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= GraphK)

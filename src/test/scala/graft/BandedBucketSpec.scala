@@ -130,4 +130,113 @@ class BandedBucketSpec extends SparkSpec {
     // connected component for downstream grouping
     assert((0 until n - 1).forall(i => got.contains((i.toLong, i + 1L))))
   }
+
+  test("s2K scalar and s2KCol column agree across every k-band edge") {
+    // One rule, two forms (the probe and ground truths use the scalar,
+    // the plans the column) — round-12 ADVICE closure: a rule change
+    // desynchronizing them must fail here, not silently mis-measure.
+    import spark.implicits._
+    val target = Similarity.S2BucketTarget
+    val ns: Seq[Long] = (Seq(1L, 2L, 100L) ++
+      (1 to 14).flatMap { k =>
+        val edge = target.toLong << k
+        Seq(edge - 1, edge, edge + 1)
+      }).distinct
+    val fromCol = ns.toDF("n_vec")
+      .withColumn("k", Similarity.s2KCol)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ns.foreach { n =>
+      assert(fromCol(n) == Similarity.s2K(n),
+        s"s2K($n)=${Similarity.s2K(n)} but s2KCol gives ${fromCol(n)}")
+    }
+  }
+
+  test("band recall floor: skewed corpus keeps measured recall and near-tie regret") {
+    // The quality claim behind the band rule ("any W neighbors are
+    // near-ties of the true top-k"), pinned with numbers on a corpus
+    // built to truncate: a 700-vector near-dup cluster (> W+1 = 513, so
+    // banding engages) embedded in a uniform background. Measured via
+    // the parameterized internals — banded operator vs its exact
+    // (band_w = 2^30) twin, the same method as the committed
+    // BAND_RECALL.json tier artifact this test is the CI anchor for.
+    val dims = Similarity.Dims
+    val nCluster = 700
+    val nBg = 1300
+    val n = nCluster + nBg
+    assert(nCluster > Similarity.S10BandW + 1, "cluster must exceed W+1")
+    def u01(x0: Long): Double = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    val base = Array.tabulate(dims)(d => u01(d.toLong * 3571))
+    val vecs: Array[Array[Float]] = Array.tabulate(n) { i =>
+      if (i < nCluster)
+        Array.tabulate(dims)(d => (base(d) * (1.0 + 1e-4 * u01(i.toLong * 104729 + d))).toFloat)
+      else
+        Array.tabulate(dims)(d => u01(i.toLong * 15485863 + d).toFloat)
+    }
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-bandfloor-${ProcessHandle.current.pid}"
+    TmpCleanup.register(dir)
+    import spark.implicits._
+    vecs.zipWithIndex.map { case (v, id) => (id.toLong, v.toSeq, id % 7) }
+      .toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // --- s10: edge recall@GraphK + cosine regret vs the exact twin ----
+    // rows: (vec_id, rnk, neighbor_id, cosine)
+    def rows(w: Int): Seq[(Long, Long, Long, Double)] =
+      Similarity.s10KnnGraphBanded(spark, dir, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val exact = rows(BandRecall.ExactW)
+    val banded = rows(Similarity.S10BandW)
+    val exactPairs = exact.map { case (id, _, nid, _) => (id, nid) }.toSet
+    val bandedPairs = banded.map { case (id, _, nid, _) => (id, nid) }.toSet
+    val recall = (bandedPairs & exactPairs).size.toDouble / exactPairs.size
+    // regret at each (vec_id, rnk) slot: banded candidates are a subset,
+    // so exact_cos - banded_cos >= 0; "near-tie" means it stays tiny on
+    // the truncating (cluster) slots
+    val exactBySlot = exact.map { case (id, r, _, c) => (id, r) -> c }.toMap
+    val regrets = banded.flatMap { case (id, r, _, bc) =>
+      exactBySlot.get((id, r)).map(_ - bc)
+    }
+    assert(regrets.nonEmpty && regrets.forall(_ >= -1e-15),
+      "banded cosine above exact at the same slot: subset property broken")
+    val regretMax = regrets.max
+    info(f"s10 recall@${Similarity.GraphK}=$recall%.4f regret_max=$regretMax%.2e " +
+      s"(${exactPairs.size} exact edges)")
+    assert(recall >= 0.95, s"s10 banded recall@${Similarity.GraphK} = $recall below floor 0.95")
+    assert(regretMax <= 1e-3,
+      s"s10 banded max cosine regret $regretMax above near-tie ceiling 1e-3")
+
+    // --- d5: banded pairs are a subset with identical components ------
+    import graft.pipeline.Dedup
+    def pairSet(w: Int): Set[(Long, Long)] =
+      Dedup.d5EmbedDedupBanded(spark, dir, w).select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d5Exact = pairSet(BandRecall.ExactW)
+    val d5Banded = pairSet(Dedup.EmbBandW)
+    assert((d5Banded -- d5Exact).isEmpty, "banded pair set must be a subset of exact")
+    def comps(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = pairs.flatMap(p => Seq(p._1, p._2))
+      ids.map(i => i -> find(i)).toMap
+    }
+    assert(comps(d5Banded) == comps(d5Exact),
+      "banded pair set must yield identical connected components (d7's consumer view)")
+    val d5Recall = d5Banded.size.toDouble / d5Exact.size
+    info(f"d5 pair recall=$d5Recall%.4f (${d5Exact.size} exact pairs), components identical")
+    assert(d5Recall >= 0.5,
+      s"d5 banded pair recall $d5Recall collapsed below the linear-output design floor")
+  }
 }

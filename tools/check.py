@@ -67,6 +67,24 @@ def compare(name, sdf, odf, notes=None):
                     f"spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r}")
         except Exception as e:
             issues.append(f"compare[{c}] failed: {e}")
+    if issues and not any(i.startswith(("dtype", "compare")) for i in issues):
+        # The positional compare assumes every oracle's ORDER BY is a
+        # TOTAL order (preserve_insertion_order=false makes any other
+        # order nondeterministic). If the same multiset of rows passes
+        # after sorting both frames on all columns, the failure is
+        # row-order-only — still a FAIL (the driver compares
+        # positionally too), but flagged so a non-total ORDER BY can't
+        # masquerade as a value mismatch.
+        try:
+            ss = s.astype(str).sort_values(list(s.columns)).reset_index(drop=True)
+            oo = o.astype(str).sort_values(list(o.columns)).reset_index(drop=True)
+            if ss.equals(oo):
+                issues.append(
+                    "ROW-ORDER-ONLY mismatch: identical row multisets — "
+                    "the oracle's ORDER BY is not a total order; fix the "
+                    "query's ordering key")
+        except Exception:
+            pass
     return issues
 
 
@@ -84,8 +102,18 @@ def main():
     # memory budget so tier-scale oracles go out-of-core like any
     # real engine would.
     con.execute("SET temp_directory='/tmp/duckdb_check_spill'")
+    # default memory budget derived from what the host actually has
+    # free (capped at 48GB — the verified-good tier-run budget) rather
+    # than assuming a large machine; override with GRAFT_CHECK_MEM
+    def default_mem():
+        try:
+            with open("/proc/meminfo") as f:
+                kb = {l.split(":")[0]: int(l.split()[1]) for l in f}
+            return "%dGB" % max(4, min(48, int(kb["MemAvailable"] * 0.8 / 1048576)))
+        except Exception:
+            return "16GB"
     con.execute("SET memory_limit='%s'"
-                % os.environ.get("GRAFT_CHECK_MEM", "48GB"))
+                % os.environ.get("GRAFT_CHECK_MEM", default_mem()))
     # insertion-order preservation buffers entire join outputs in order
     # (226M rows x 1KB at d5/tier40 -> OOM at any memory_limit); every
     # oracle ends in an explicit ORDER BY, so result order never depends

@@ -7,10 +7,15 @@ cd /root/repo
 log() { echo "[regen $(date +%H:%M:%S)] $*"; }
 
 # --- Phase A: four persistent tier gates -------------------------------
+# (r12 ADVICE fix: stale-output hazard — a failed Verify used to fall
+# through to check.py against a /tmp dir still holding a PREVIOUS run's
+# parquet, minting a green artifact from stale results. Now the out dir
+# is removed before every Verify and a Verify failure skips the check.)
 for t in 5 10 20 40; do
   log "verify tier$t"
+  rm -rf /tmp/verify_t$t
   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify target/tier$t /tmp/verify_t$t" \
-    > /tmp/verify_t$t.log 2>&1 || { log "VERIFY tier$t FAILED"; }
+    > /tmp/verify_t$t.log 2>&1 || { log "VERIFY tier$t FAILED — check skipped"; continue; }
   case $t in
     5)  j=CORRECTNESS_SF05.json ;;
     10) j=CORRECTNESS_SF1.json ;;
