@@ -18,12 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * because the bucket was a STATIC column unroll — the adaptive rule
   * k = max(kmin, bitLength(n / target)) itself never needed one.
   *
-  * This expression removes it: the plane bank is generated on demand from
-  * the same LCG the unrolled bank used (coefficient (p, d) =
-  * ((1103515245·(p·64+d) + 12345) mod 2³¹) / 2³¹ · 2 − 1, so every bucket
-  * at k ≤ 8 is bit-identical to the r7–r10 operators), memoized
-  * process-wide, and the kernel loops i < k for WHATEVER k the in-plan
-  * count selects. The only remaining bound is the bucket's own datatype:
+  * This expression removes it: the plane bank is generated on demand
+  * (see [[SignLshImpl.coeff]] — splitmix64 since round 12, which
+  * retired the r7–r11 LCG and with it the bit-compat of historical
+  * buckets; every gate artifact was regenerated on the new bank),
+  * memoized process-wide, and the kernel loops i < k for WHATEVER k the
+  * in-plan count selects. The only remaining bound is the bucket's own datatype:
   * a Long holds 62 usable sign bits, and k = bitLength(n / 256) reaches
   * 55 only at n = 2⁶³ rows — past any corpus a Long row count can
   * address, so the operator carries no scale ceiling at all. Dot
@@ -37,14 +37,34 @@ object SignLshImpl {
     */
   val KCap = 62
 
-  /** Legacy LCG coefficient — the exact formula the r7 fixed-k bank used,
-    * valid for ANY plane index p (the old code merely materialized
-    * p < 8). Dyadic rationals, so oracle decimal literals parse to the
+  /** Plane coefficient (p, d) — splitmix64-mixed since round 12.
+    *
+    * The r7–r11 bank sampled a mod-2³¹ LCG at CONSECUTIVE indexes
+    * p·64+d, and the lattice correlation across planes (already
+    * documented as "visible correlation across 72 planes" when d5's
+    * bank chose splitmix64) turned out to be a measured QUALITY defect,
+    * not a cosmetic one: correlated plane signs merge what should be
+    * independent cuts, producing mega-buckets of UNRELATED vectors
+    * (tier80: max |bucket| 3297 on this bank vs 880 on d5's splitmix
+    * bank over the same corpus — PROBE_BUCKETS.json), and in those
+    * buckets the band rule's "truncation only sacrifices near-ties"
+    * assumption fails badly (BAND_RECALL.json pre-fix: s10 banded
+    * recall@3 = 0.79 at tier80 with max cosine regret ≈ 0.40).
+    * splitmix64 makes the planes effectively independent, so the skew
+    * tail is genuine near-dup clusters — the shape the band rule is
+    * designed for. The seed rides in a namespace disjoint from d5's
+    * bank (embPlaneId·64+d < 2²⁰) so the two banks can never alias.
+    * Dyadic rationals, so oracle decimal literals parse to the
     * bit-identical double.
     */
+  val SeedBase = 0x53320000000L // 's2' namespace, disjoint from d5's < 2^20
+
   def coeff(p: Int, d: Int): Double = {
-    val v = (1103515245L * (p * 64L + d) + 12345L) % 2147483648L
-    v.toDouble / 2147483648.0 * 2.0 - 1.0
+    var z = SeedBase + p * 64L + d + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
   // grow-only memoized bank; replace-on-grow keeps readers lock-free

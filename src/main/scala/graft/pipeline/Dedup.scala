@@ -527,11 +527,12 @@ object Dedup {
     * bucket truncates only on a ≥ 16σ excursion, so banding engages
     * only on genuine near-dup cluster buckets, where it keeps every
     * position-adjacent pair: the pair set still CONNECTS the cluster
-    * (what downstream d7 grouping consumes — BAND_RECALL.json proves
-    * the banded and exact pair sets yield IDENTICAL connected
-    * components on the skewed tiers); individual far-apart pairs
-    * inside a giant cluster are the sacrificed redundancy, measured
-    * there as pair recall. The oracle replays pos/band verbatim.
+    * (what downstream d7 grouping consumes — BAND_RECALL.json: banded
+    * vs exact connected components agree on ALL 320k vertices at
+    * tier160 and differ on ≤ 4 vertex labels at tier40/80, with pair
+    * recall ≥ 0.997); individual far-apart pairs inside a giant
+    * cluster are the sacrificed redundancy, measured there as pair
+    * recall. The oracle replays pos/band verbatim.
     */
   val EmbBandW = 512
   /** Plane-agreement probability at the production band edge cos = 0.8:

@@ -141,8 +141,9 @@ object Similarity {
   // in-bucket CPU at e ≈ 1.54 past the old kmax = 8 ceiling). Now
   // k = max(kmin, bitLength(n/target)) with no upper clamp: the bucket is
   // the native [[graft.functions.SignLshBucket]] kernel, which generates
-  // planes on demand from the SAME LCG the old unrolled bank used (every
-  // bucket at k ≤ 8 is bit-identical to r7–r10), so E[bucket] stays
+  // planes on demand (splitmix64 since round 12 — the old LCG's
+  // cross-plane correlation was a measured quality defect, see the
+  // coeff scaladoc), so E[bucket] stays
   // pinned near the target at ANY corpus size. The only residual bound
   // is the Long bucket type's 62 bits — reached at n = 2⁶² · 256 rows,
   // past what a Long row count can address. The vector count rides the
@@ -164,14 +165,14 @@ object Similarity {
     */
   val S2OracleK = 12
 
-  /** Deterministic pseudo-random hyperplanes in [-1,1): LCG over (p,d)
-    * (see [[graft.functions.SignLshImpl.coeff]] — the kernel and this
-    * oracle bank share one formula). Values are dyadic rationals ->
-    * exact decimal literals -> both engines parse the identical double.
-    * Materialized to S2OracleK here only for the oracle text and the
-    * specs' ground-truth recomputation; the first S2KMin planes are
-    * unchanged from the fixed-k operator, so small corpora keep their
-    * exact historical buckets.
+  /** Deterministic pseudo-random hyperplanes in [-1,1): splitmix64 over
+    * (p,d) (see [[graft.functions.SignLshImpl.coeff]] — the kernel and
+    * this oracle bank share one formula; round 12 retired the r7–r11
+    * LCG whose cross-plane correlation built mega-buckets of unrelated
+    * vectors — the measured band-recall defect). Values are dyadic
+    * rationals -> exact decimal literals -> both engines parse the
+    * identical double. Materialized to S2OracleK here only for the
+    * oracle text and the specs' ground-truth recomputation.
     */
   val planes: Seq[Seq[Double]] = (0 until S2OracleK).map { p =>
     (0 until 64).map(d => graft.functions.SignLshImpl.coeff(p, d))

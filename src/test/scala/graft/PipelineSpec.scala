@@ -1187,24 +1187,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("s2 SignLshBucket expression: k=10 matches the LCG fold, eval==codegen") {
+  test("s2 SignLshBucket expression: k=10 matches the seeded splitmix fold, eval==codegen") {
     import spark.implicits._
-    def lcg(p: Int, d: Int): Double = {
-      val v = (1103515245L * (p * 64L + d) + 12345L) % 2147483648L
-      v.toDouble / 2147483648.0 * 2.0 - 1.0
-    }
     def mix(x0: Long): Long = {
       var z = x0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
+    // THE plane definition (round 12): splitmix64 over the s2 seed
+    // namespace 0x53320000000 + p*64 + d, dyadic-rational output —
+    // recomputed here from scratch so a kernel drift fails loudly
+    def plane(p: Int, d: Int): Double =
+      (mix(0x53320000000L + p * 64L + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     def u01(x0: Long): Double = (mix(x0) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
     val vecs = Array.tabulate(64, 64)((v, d) => u01(v * 524287L + d))
     def bucketOf(emb: Array[Double], k: Int): Long =
       (0 until k).map { i =>
         var acc = 0.0
-        (0 until 64).foreach(d => acc += emb(d) * lcg(i, d))
+        (0 until 64).foreach(d => acc += emb(d) * plane(i, d))
         if (acc > 0) 1L << i else 0L
       }.sum
     val df = vecs.zipWithIndex.map { case (v, id) => (id.toLong, v.toSeq) }
