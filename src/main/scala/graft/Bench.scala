@@ -31,6 +31,13 @@ object Bench {
   def load1(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** load1 for an artifact: getSystemLoadAverage returns -1.0 where the
+    * platform has no load average — emit JSON null there instead of
+    * -1.00, which the "load1 >> cpus/4 means contaminated" heuristic
+    * would misread as a perfectly idle machine (round-12 ADVICE).
+    */
+  def load1Json(v: Double): String = if (v < 0) "null" else fnum(v, 2)
+
   /** build.sbt sets `Global / showSuccess := false`, so sbt no longer
     * appends its ~76-char `[success] Total time: ...` trailer after the
     * line (verified on sbt 1.10; round 5's budget reserved 85 chars for
@@ -262,7 +269,7 @@ object Bench {
     }.getOrElse("")
 
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min of $Runs after warm + GC barrier; gate flags rechecked standalone in-run","failed":$failedJson,"load1_start":${fnum(loadStart, 2)},"load1_end":${fnum(load1(), 2)},"sf":"$sfDir"$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min of $Runs after warm + GC barrier; gate flags rechecked standalone in-run","failed":$failedJson,"load1_start":${load1Json(loadStart)},"load1_end":${load1Json(load1())},"sf":"$sfDir"$scaling}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(FullPath),
       (full + "\n").getBytes("UTF-8"))
     // the committed clean reference is refreshed only on an explicitly

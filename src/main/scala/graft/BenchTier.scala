@@ -161,7 +161,7 @@ object BenchTier {
         s""""main_sf":"$mainDir","timing":"min of $Runs after warm + GC barrier",""" +
         s""""total_sf01":${f3(entries.map(_._2).sum)},"total_tier":${f3(entries.map(_._3).sum)},""" +
         s""""superlinear":${superlinear.mkString("[", ",", "]")},""" +
-        s""""load1_start":${Bench.fnum(loadStart, 2)},"load1_end":${Bench.fnum(Bench.load1(), 2)},""" +
+        s""""load1_start":${Bench.load1Json(loadStart)},"load1_end":${Bench.load1Json(Bench.load1())},""" +
         s""""ops":$opsJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))

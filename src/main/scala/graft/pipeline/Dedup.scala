@@ -543,12 +543,15 @@ object Dedup {
   val EmbBandP: Double = 1.0 - StrictMath.acos(0.8) / StrictMath.PI
 
   /** Oracle unroll depth (tables × planes are literal text in the DuckDB
-    * mirror): k = 12 admits n < 2¹²·256 = 1,048,576 vectors — 6.5× the
-    * largest persisted tier (tier80, n = 160k → k = 10). Past it the
+    * mirror): k = 13 admits n < 2¹³·256 = 2,097,152 vectors (round 13;
+    * was 12/1M — tier640's n = 1.28M sat exactly at the old ceiling, so
+    * the gate ladder could not take one more doubling). Past it the
     * oracle raises via error() instead of silently truncating buckets;
     * the OPERATOR has no such bound (planes are generated on demand).
+    * Every k ≤ 12 text decision is unchanged — the added planes/tables
+    * are gated on `i < k` / `t < t_cnt` like all the others.
     */
-  val EmbOracleK = 12
+  val EmbOracleK = 13
 
   /** max(bitLength(n / target), 3): bitLength(q) = 64 - nlz(q) =
     * floor(log2 q) + 1 for q ≥ 1, 0 at q = 0 — the exact integer log2
@@ -682,6 +685,52 @@ object Dedup {
   def d5EmbedDedup(s: SparkSession, dir: String): DataFrame =
     d5EmbedDedupBanded(s, dir, EmbBandW)
 
+  /** Measured bytes/row of the embeddings table on disk (random floats
+    * are incompressible: tier320 = 168.6 MB / 640k rows = 263.5) and of
+    * one exploded (tbl, bkt, vec_id, emb: double[64], norm) shuffle row
+    * in the sort spill format (tier320 measured 21 GB / 38.4M rows =
+    * 547). Order-of-magnitude calibration for partition sizing only —
+    * never used for semantics.
+    */
+  private val EmbDiskRowBytes = 264L
+  private val EmbExecRowBytes = 544L
+
+  /** Post-shuffle bytes one (tbl, bkt) sort task should own: 256 MB
+    * (the classic healthy-task size; ~2.5x headroom under the default
+    * executor memory-per-core before sort spill).
+    */
+  private val EmbPartBytes = 256L << 20
+
+  /** Shuffle partition count for d5's (tbl, bkt) exchange, sized to the
+    * EXPLODED data volume (n·T rows of ~EmbExecRowBytes) instead of the
+    * session default. Round 12's t160→t320 doubling showed why: at the
+    * session-fixed 32 partitions, tier320's 21 GB exploded table meant
+    * 660 MB/task and 12.8 GB of sort spill — inflating the wall exponent
+    * (1.65) above the candidate-mass line (1.43) for a pure config
+    * reason. n is estimated from the parquet FILE LENGTH (a driver-side
+    * FS metadata read — what every planner does; no Spark job runs, so
+    * PlanAuditSpec's construction-time-job audit stays satisfied), then
+    * T follows from the same adaptive-k rule the kernel applies. Floored
+    * at the session shuffle-partition count (small SFs keep their exact
+    * current plans: want = 1 << 32 there), capped at 1M tasks — at
+    * 100 TB the estimate sizes itself (n ≈ 4e11 → k ≈ 31, and the
+    * 256 MB target is per-task, independent of cluster width).
+    */
+  private[graft] def embShufflePartitions(s: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fileBytes =
+      try path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(path).getLength
+      catch { case _: java.io.IOException => 0L }
+    val nEst = math.max(1L, fileBytes / EmbDiskRowBytes)
+    val t = embTablesFor(embK(nEst))
+    // doubles: n·T·rowBytes overflows Long past ~2e14 rows
+    val want = math.ceil(
+      nEst.toDouble * t * EmbExecRowBytes / EmbPartBytes)
+    val floor = s.sessionState.conf.numShufflePartitions
+    math.max(floor, math.min(want, 1 << 20).toInt)
+  }
+
   /** Band width as a parameter — the shipped operator pins
     * w = EmbBandW; BandRecall passes an effectively-infinite width too
     * (exact full in-bucket verify) to measure the band's pair-recall and
@@ -706,7 +755,7 @@ object Dedup {
       })
       .toDF("tbl", "bkt", "vec_id", "emb", "norm")
       .as[(Int, Long, Long, Array[Double], Double)]
-      .repartition(col("tbl"), col("bkt"))
+      .repartition(embShufflePartitions(s, dir), col("tbl"), col("bkt"))
       .sortWithinPartitions("tbl", "bkt", "vec_id")
       .mapPartitions { it =>
         val buf = it.buffered
