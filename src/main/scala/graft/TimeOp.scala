@@ -19,7 +19,16 @@ object TimeOp {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        val dt = ((System.nanoTime() - t0) / 1e9, n)
+        // GC barrier between runs (outside the timed window), as in
+        // Bench: ContextCleaner only deletes the previous run's shuffle
+        // files after its DataFrame is COLLECTED BY GC, and a tier640 d5
+        // run writes ~27 GB of compressed shuffle — without the barrier,
+        // repeated runs race the async cleaner to ENOSPC on this host's
+        // 57 GB of free disk (observed: run 2 of 3 died mid-shuffle).
+        System.gc()
+        Thread.sleep(2000)
+        dt
       }
       println(f"[timeop] $name rows=${times.head._2} " +
         times.map(t => f"${t._1}%.3f").mkString("times=[", ", ", "]") +

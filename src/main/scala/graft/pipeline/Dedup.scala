@@ -687,13 +687,14 @@ object Dedup {
 
   /** Measured bytes/row of the embeddings table on disk (random floats
     * are incompressible: tier320 = 168.6 MB / 640k rows = 263.5) and of
-    * one exploded (tbl, bkt, vec_id, emb: double[64], norm) shuffle row
-    * in the sort spill format (tier320 measured 21 GB / 38.4M rows =
-    * 547). Order-of-magnitude calibration for partition sizing only —
-    * never used for semantics.
+    * one exploded (tbl, bkt, vec_id, embf: float[64], norm) shuffle row
+    * in the sort format (float-width vectors since round 13; the
+    * double-width row measured 547 B at tier320 — 21 GB/38.4M rows).
+    * Order-of-magnitude calibration for partition sizing only — never
+    * used for semantics.
     */
   private val EmbDiskRowBytes = 264L
-  private val EmbExecRowBytes = 544L
+  private val EmbExecRowBytes = 288L
 
   /** Post-shuffle bytes one (tbl, bkt) sort task should own: 256 MB
     * (the classic healthy-task size; ~2.5x headroom under the default
@@ -738,7 +739,19 @@ object Dedup {
     */
   private[graft] def d5EmbedDedupBanded(s: SparkSession, dir: String, bandW: Int): DataFrame = {
     import s.implicits._
-    val normed = Similarity.normed(s, dir).select("vec_id", "emb", "norm")
+    // The vectors cross the big (tbl, bkt) exchange as their SOURCE
+    // float32 (256 B/vector), not the double widening (512 B) the math
+    // runs in: float -> double conversion is exact, so widening inside
+    // the kernels (bucketing before the shuffle, the dot after it)
+    // produces bit-identical buckets and cosines while HALVING the
+    // operator's dominant byte volume — n·T·row: 53 GB -> 29 GB at
+    // tier640, where the double-width exchange crossed the local host's
+    // dirty-page writeback throttle and wall went e=2.5 on an e=1.43
+    // candidate-mass doubling. norm stays the double Similarity.normed
+    // computed (the oracle's fold), 8 B.
+    val normed = Similarity.normed(s, dir)
+      .select(col("vec_id"),
+        col("emb").cast("array<float>").as("embf"), col("norm"))
     // the vector count rides the plan as a broadcast 1-row aggregate
     // (bounded by construction), so k is chosen from n INSIDE the query —
     // no driver-side count during construction (PlanAuditSpec forbids
@@ -746,15 +759,20 @@ object Dedup {
     // table grows
     val nRow = normed.groupBy().agg(count(lit(1)).as("n_vec"))
     normed.crossJoin(broadcast(nRow))
-      .as[(Long, Array[Double], Double, Long)]
-      .mapPartitions(_.flatMap { case (id, emb, norm, n) =>
-        val k = embK(n)
-        val tCount = embTablesFor(k)
-        val bs = kernelBuckets(emb, k, tCount)
-        (0 until tCount).iterator.map(t => (t, bs(t), id, emb, norm))
-      })
-      .toDF("tbl", "bkt", "vec_id", "emb", "norm")
-      .as[(Int, Long, Long, Array[Double], Double)]
+      .as[(Long, Array[Float], Double, Long)]
+      .mapPartitions { it =>
+        val widened = new Array[Double](Similarity.Dims)
+        it.flatMap { case (id, embf, norm, n) =>
+          val k = embK(n)
+          val tCount = embTablesFor(k)
+          var d = 0
+          while (d < embf.length) { widened(d) = embf(d).toDouble; d += 1 }
+          val bs = kernelBuckets(widened, k, tCount)
+          (0 until tCount).iterator.map(t => (t, bs(t), id, embf, norm))
+        }
+      }
+      .toDF("tbl", "bkt", "vec_id", "embf", "norm")
+      .as[(Int, Long, Long, Array[Float], Double)]
       .repartition(embShufflePartitions(s, dir), col("tbl"), col("bkt"))
       .sortWithinPartitions("tbl", "bkt", "vec_id")
       .mapPartitions { it =>
@@ -765,7 +783,7 @@ object Dedup {
           else {
             val (t0, b0, _, _, _) = buf.head
             val grp = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Array[Double], Double)]
+              .empty[(Long, Array[Float], Double)]
             while (buf.hasNext && buf.head._1 == t0 && buf.head._2 == b0) {
               val r = buf.next(); grp += ((r._3, r._4, r._5))
             }
@@ -777,13 +795,17 @@ object Dedup {
             // banded verify: only the bandW positions after i (see the
             // EmbBandW scaladoc — exact for |bucket| <= W+1, linear on
             // cluster-skew tails); long arithmetic so an effectively-
-            // infinite width (BandRecall's exact arm) cannot overflow
+            // infinite width (BandRecall's exact arm) cannot overflow.
+            // Each float widens at the multiply — (double)a * (double)b
+            // over float-valued doubles is the bit-identical product the
+            // all-double kernel computed, and the accumulation order is
+            // unchanged (left-to-right from 0.0, the oracle's fold).
             (i + 1 until math.min(i.toLong + 1L + bandW, grp.length.toLong).toInt).iterator.flatMap { j =>
               val (ia, ea, na) = grp(i)
               val (ib, eb, nb) = grp(j)
               var acc = 0.0
               var d = 0
-              while (d < ea.length) { acc += ea(d) * eb(d); d += 1 }
+              while (d < ea.length) { acc += ea(d).toDouble * eb(d).toDouble; d += 1 }
               val cos = acc / (na * nb)
               if (cos >= 0.45) Iterator.single((ia, ib, cos))
               else Iterator.empty
