@@ -23,6 +23,17 @@ object GraftSession {
       // Hot array_ids / hot LSH buckets are expected in real corpora; AQE
       // skew split complements the explicit salting pattern (q15).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Catalyst-planned exchanges START at 512 partitions and AQE
+      // coalesces DOWN to ~64 MB targets — the standard cluster recipe.
+      // With initialPartitionNum left at the session default (32 here),
+      // every planner-inserted shuffle was pinned to 32 regardless of
+      // data: the round-13 tier320 audit caught d4/d16's pair
+      // aggregation + size joins sorting 140M-row streams through
+      // 32 tasks (27 GB of sort/agg spill, numTasksFallBacked=32).
+      // Small shuffles coalesce to fewer-than-32 tasks, so the sf0.01
+      // gate plans only get cheaper; explicit sized repartitions
+      // (d5/d4's kernel exchanges) are user-specified and unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       // 128 MiB scan splits: big enough to amortize parquet footers &
       // codec startup, small enough that a single slice-read task fits
       // comfortably in executor memory with room for the patch CASE-WHEN.

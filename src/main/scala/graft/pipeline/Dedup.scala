@@ -346,7 +346,7 @@ object Dedup {
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleCol).as("s"))
       .select(graft.functions.GenKey(col("s")).as("h"), col("doc_id"))
-      .repartition(col("h"))
+      .repartition(shingleShufflePartitions(s, dir), col("h"))
       .sortWithinPartitions("h", "doc_id")
       .as[(Long, Long)]
       .mapPartitions { it =>
@@ -718,19 +718,45 @@ object Dedup {
     * 256 MB target is per-task, independent of cluster width).
     */
   private[graft] def embShufflePartitions(s: SparkSession, dir: String): Int = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fileBytes =
-      try path.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .getContentSummary(path).getLength
-      catch { case _: java.io.IOException => 0L }
-    val nEst = math.max(1L, fileBytes / EmbDiskRowBytes)
+    val nEst = math.max(1L, tableFileBytes(s, dir, "embeddings") / EmbDiskRowBytes)
     val t = embTablesFor(embK(nEst))
     // doubles: n·T·rowBytes overflows Long past ~2e14 rows
-    val want = math.ceil(
-      nEst.toDouble * t * EmbExecRowBytes / EmbPartBytes)
+    sizedPartitions(s, nEst.toDouble * t * EmbExecRowBytes)
+  }
+
+  /** Parquet file length of one table — a driver-side FS metadata read
+    * (what every planner does; no Spark job), 0 when absent.
+    */
+  private def tableFileBytes(s: SparkSession, dir: String, table: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    try path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(path).getLength
+    catch { case _: java.io.IOException => 0L }
+  }
+
+  /** Partition count for `sortBytes` of post-shuffle sort data: 256 MB
+    * tasks, floored at the session shuffle-partition count (small SFs
+    * keep their exact current plans), capped at 1M tasks.
+    */
+  private def sizedPartitions(s: SparkSession, sortBytes: Double): Int = {
+    val want = math.ceil(sortBytes / EmbPartBytes)
     val floor = s.sessionState.conf.numShufflePartitions
     math.max(floor, math.min(want, 1 << 20).toInt)
   }
+
+  /** Measured sort-data expansion of the d4/d16 shingle exchange over
+    * the documents table's ON-DISK size: compressed text explodes to
+    * one (h, doc_id) row per shingle, and the external sorter holds
+    * ~180 B per row (UnsafeRow + sort pointer + spill serialization) —
+    * the t320 audit measured ~60 GB of sort data against 196 MB of
+    * parquet (45.6 GB of it SPILLED at the session-fixed 32 partitions,
+    * the same defect class d5's exchange had). 320 disk-bytes-to-sort-
+    * bytes covers it with margin; order-of-magnitude sizing only.
+    */
+  private val ShingleSortExpansion = 320.0
+
+  private[graft] def shingleShufflePartitions(s: SparkSession, dir: String): Int =
+    sizedPartitions(s, tableFileBytes(s, dir, "documents") * ShingleSortExpansion)
 
   /** Band width as a parameter — the shipped operator pins
     * w = EmbBandW; BandRecall passes an effectively-infinite width too

@@ -137,9 +137,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     npass = nfail = 0
+    import time
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        t_q = time.time()
         sdf = load_spark(outdir, name)
         if sdf is None:
             print(f"FAIL {name}: no spark output")
@@ -148,6 +150,7 @@ def main():
             continue
         try:
             odf = con.execute(oracle[name]).df()
+            t_q = time.time() - t_q
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             results[name] = {"status": "err",
@@ -164,7 +167,7 @@ def main():
                              "issues": issues}
             nfail += 1
         else:
-            print(f"PASS {name} ({len(sdf)} rows)")
+            print(f"PASS {name} ({len(sdf)} rows, {t_q:.1f}s)", flush=True)
             results[name] = {"status": "pass", "rows": len(sdf)}
             if notes:
                 results[name]["notes"] = notes
