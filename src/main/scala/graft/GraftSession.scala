@@ -23,17 +23,20 @@ object GraftSession {
       // Hot array_ids / hot LSH buckets are expected in real corpora; AQE
       // skew split complements the explicit salting pattern (q15).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // Catalyst-planned exchanges START at 512 partitions and AQE
-      // coalesces DOWN to ~64 MB targets — the standard cluster recipe.
-      // With initialPartitionNum left at the session default (32 here),
-      // every planner-inserted shuffle was pinned to 32 regardless of
-      // data: the round-13 tier320 audit caught d4/d16's pair
-      // aggregation + size joins sorting 140M-row streams through
-      // 32 tasks (27 GB of sort/agg spill, numTasksFallBacked=32).
-      // Small shuffles coalesce to fewer-than-32 tasks, so the sf0.01
-      // gate plans only get cheaper; explicit sized repartitions
-      // (d5/d4's kernel exchanges) are user-specified and unaffected.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // spark.sql.adaptive.coalescePartitions.initialPartitionNum is the
+      // one knob that MUST scale with deployment: planner-inserted
+      // exchanges start there and AQE coalesces down to size targets. A
+      // 100 TB cluster sets it ~2-3x total cores (with shuffle.partitions
+      // to match); leaving it at this harness's pinned 32 is what let
+      // d4/d16's pair aggregation + size joins sort 140M-row streams
+      // through 32 tasks at tier320 (27 GB of sort/agg spill,
+      // numTasksFallBacked=32 — round-13 audit). Local tier-scale
+      // evidence runs set GRAFT_AQE_INITIAL=512 (regen script); the
+      // sf0.1 bench contract keeps the session default because a 512
+      // start costs ~0.5-1 s/op in scheduling overhead at 60k-row
+      // shuffles on a 32-core box (A/B in BENCH_NOTES_r13) — partition
+      // counts are a per-scale config, not a constant. Explicit sized
+      // repartitions (d5/d4's kernel exchanges) hold at ANY setting.
       // 128 MiB scan splits: big enough to amortize parquet footers &
       // codec startup, small enough that a single slice-read task fits
       // comfortably in executor memory with room for the patch CASE-WHEN.
@@ -43,8 +46,10 @@ object GraftSession {
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // graft_gen_key / graft_ring_place available to pure-SQL users.
       .config("spark.sql.extensions", classOf[functions.GraftExtensions].getName)
+    val b2 = sys.env.get("GRAFT_AQE_INITIAL").fold(b)(v =>
+      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
     if (shufflePartitions > 0)
-      b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-    else b
+      b2.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    else b2
   }
 }

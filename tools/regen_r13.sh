@@ -29,7 +29,7 @@ gate() { # gate <tier-mult> <json> [ops]
   local t=$1 j=$2 ops=${3:-}
   log "verify tier$t ${ops:+(subset $ops)}"
   rm -rf /tmp/verify_t$t
-  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify target/tier$t /tmp/verify_t$t $ops" \
+  GRAFT_AQE_INITIAL=512 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Verify target/tier$t /tmp/verify_t$t $ops" \
     > /tmp/verify_t$t.log 2>&1 || { log "VERIFY tier$t FAILED — check skipped"; return 1; }
   log "check tier$t -> $j"
   local extra=()
@@ -47,6 +47,13 @@ gate 640 CORRECTNESS_SF64_LSH.json \
   d5_embed_dedup,s2_lsh_ann,s7_multiprobe,s9_recall_matrix,s10_knn_graph
                                       # round-13 item 6: k=13 oracle proof
 
+# Tier-scale runs pin GRAFT_AQE_INITIAL=512 (GraftSession env knob):
+# planner-inserted exchanges start wide and AQE coalesces down, the
+# cluster recipe — without it d4/d16's pair stages sort 140M-row
+# streams through 32 tasks (27 GB spill at tier320). The sf0.1 bench
+# phases run at the session default (the committed round-over-round
+# contract); see GraftSession.scala.
+
 # --- Phase B: probes + byte audits (contention-immune) -----------------
 log "bucket probes -> PROBE_BUCKETS.json"
 GRAFT_PROBE_JSON=PROBE_BUCKETS.json SPARK_GRAFT_CPUS=32 \
@@ -54,10 +61,10 @@ GRAFT_PROBE_JSON=PROBE_BUCKETS.json SPARK_GRAFT_CPUS=32 \
   > /tmp/probebuckets.log 2>&1
 
 log "shuffle audit t160->t320 subset"
-SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ShuffleAudit target/tier160 target/tier320 2 d2_minhash_lsh,d4_ngram_jaccard,d5_embed_dedup,s10_knn_graph,t5_top_terms SHUFFLE_AUDIT_2x_T160T320.json" \
+GRAFT_AQE_INITIAL=512 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ShuffleAudit target/tier160 target/tier320 2 d2_minhash_lsh,d4_ngram_jaccard,d5_embed_dedup,s10_knn_graph,t5_top_terms SHUFFLE_AUDIT_2x_T160T320.json" \
   > /tmp/audit_t160t320.log 2>&1
 log "shuffle audit t320->t640 subset"
-SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ShuffleAudit target/tier320 target/tier640 2 d5_embed_dedup,s10_knn_graph,s2_lsh_ann SHUFFLE_AUDIT_2x_T320T640.json" \
+GRAFT_AQE_INITIAL=512 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ShuffleAudit target/tier320 target/tier640 2 d5_embed_dedup,s10_knn_graph,s2_lsh_ann SHUFFLE_AUDIT_2x_T320T640.json" \
   > /tmp/audit_t320t640.log 2>&1
 log "full 40x shuffle audit"
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ShuffleAudit /root/testdata/sf0.1 target/tier40 40" \
@@ -67,7 +74,7 @@ SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.ShuffleAudit /root/testdata/sf0.1 
 # load1_start/load1_end so contamination self-identifies) ---------------
 log "timeop doublings (incl. item-2 sized-shuffle t160->t320 and item-5 t320->t640)"
 for d in target/tier160 target/tier320 target/tier640; do
-  SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.TimeOp s10_knn_graph,d5_embed_dedup,s2_lsh_ann $d 6" \
+  GRAFT_AQE_INITIAL=512 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.TimeOp s10_knn_graph,d5_embed_dedup,s2_lsh_ann $d 6" \
     2>/dev/null | grep timeop | sed "s|^|$d |" >> /tmp/regen_timeop.log
 done
 log "full 40x tier bench"
