@@ -123,7 +123,7 @@ object BandRecall {
         s""""d5_groups":$d5Groups},${wEntries.mkString(",")}}"""
     }
     val body = "{" + entries.mkString(",\n") +
-      s""","method":"banded operator vs band_w=2^30 exact twin; recall over exact edge/pair set; regret = exact minus banded cosine at the same (vec_id,rnk); components = min-label propagation fixpoint"}"""
+      s""",${Bench.gitStamp},"method":"banded operator vs band_w=2^30 exact twin; recall over exact edge/pair set; regret = exact minus banded cosine at the same (vec_id,rnk); components = min-label propagation fixpoint"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (body + "\n").getBytes("UTF-8"))
     println(s"[bandrecall] wrote $outJson")

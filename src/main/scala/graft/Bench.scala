@@ -38,6 +38,35 @@ object Bench {
     */
   def load1Json(v: Double): String = if (v < 0) "null" else fnum(v, 2)
 
+  /** Git HEAD sha of the working tree this JVM runs in, or "unknown".
+    * Every generated artifact carries it (round-13 verdict #4: three
+    * stale-artifact-vs-claim mismatches would all have self-identified
+    * had the artifacts named the commit they measured). Read once —
+    * .git/HEAD resolution via the git CLI, no library dependency.
+    */
+  lazy val gitSha: String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else "unknown"
+    } catch { case _: Exception => "unknown" }
+
+  /** `"git_sha":"…","git_dirty":…` fragment for artifact JSON: dirty
+    * means uncommitted tracked changes — an artifact generated mid-edit
+    * names the nearest commit but flags that the tree differed.
+    */
+  lazy val gitStamp: String = {
+    val dirty =
+      try {
+        val p = new ProcessBuilder("git", "status", "--porcelain")
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+        p.waitFor() == 0 && out.linesIterator.exists(!_.startsWith("??"))
+      } catch { case _: Exception => false }
+    s""""git_sha":"$gitSha","git_dirty":$dirty"""
+  }
+
   /** build.sbt sets `Global / showSuccess := false`, so sbt no longer
     * appends its ~76-char `[success] Total time: ...` trailer after the
     * line (verified on sbt 1.10; round 5's budget reserved 85 chars for
@@ -269,7 +298,7 @@ object Bench {
     }.getOrElse("")
 
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min of $Runs after warm + GC barrier; gate flags rechecked standalone in-run","failed":$failedJson,"load1_start":${load1Json(loadStart)},"load1_end":${load1Json(load1())},"sf":"$sfDir"$scaling}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"storage_mb":$storageJson,"regressed":$regressedJson,"runs_per_query":$Runs,"timing":"min of $Runs after warm + GC barrier; gate flags rechecked standalone in-run","failed":$failedJson,"load1_start":${load1Json(loadStart)},"load1_end":${load1Json(load1())},$gitStamp,"sf":"$sfDir"$scaling}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(FullPath),
       (full + "\n").getBytes("UTF-8"))
     // the committed clean reference is refreshed only on an explicitly

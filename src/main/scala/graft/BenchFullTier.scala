@@ -64,7 +64,7 @@ object BenchFullTier {
         s""""total_sf01":${f3(entries.map(_._2).sum)},"total_tier":${f3(entries.map(_._3).sum)},""" +
         s""""superlinear":${superlinear.mkString("[", ",", "]")},""" +
         s""""skipped":{},""" +
-        s""""load1_start":${Bench.load1Json(loadStart)},"load1_end":${Bench.load1Json(Bench.load1())},""" +
+        s""""load1_start":${Bench.load1Json(loadStart)},"load1_end":${Bench.load1Json(Bench.load1())},${Bench.gitStamp},""" +
         s""""ops":$opsJson}"""
     val outFile = mult match {
       case 5  => "BENCH_FULL_SF05.json"

@@ -67,6 +67,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance stamp (round-13 verdict #4): a separate file — NOT a
+    // key inside oracle_sql.json, whose every value the driver executes
+    // as SQL. check.py folds it into the correctness artifact so a gate
+    // generated from stale dumps self-identifies.
+    Files.writeString(Paths.get(s"$outDir/_meta.json"),
+      s"""{${Bench.gitStamp},"sfdir":${q(sfDir)}}\n""")
     if (!preExisting) spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.arrays.HashRing
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2-C deduplication / corpus-curation family over `documents` /
@@ -342,11 +342,11 @@ object Dedup {
     */
   private def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tagged = Tables.documents(s, dir)
+    val keyed = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(shingleCol).as("s"))
       .select(graft.functions.GenKey(col("s")).as("h"), col("doc_id"))
-      .repartition(shingleShufflePartitions(s, dir), col("h"))
+    val tagged = repartitionSized(keyed, shingleShufflePartitions(s, dir), col("h"))
       .sortWithinPartitions("h", "doc_id")
       .as[(Long, Long)]
       .mapPartitions { it =>
@@ -543,15 +543,17 @@ object Dedup {
   val EmbBandP: Double = 1.0 - StrictMath.acos(0.8) / StrictMath.PI
 
   /** Oracle unroll depth (tables × planes are literal text in the DuckDB
-    * mirror): k = 13 admits n < 2¹³·256 = 2,097,152 vectors (round 13;
-    * was 12/1M — tier640's n = 1.28M sat exactly at the old ceiling, so
-    * the gate ladder could not take one more doubling). Past it the
-    * oracle raises via error() instead of silently truncating buckets;
-    * the OPERATOR has no such bound (planes are generated on demand).
-    * Every k ≤ 12 text decision is unchanged — the added planes/tables
-    * are gated on `i < k` / `t < t_cnt` like all the others.
+    * mirror): k = 14 admits n < 2¹⁴·256 = 4,194,304 vectors (round 14;
+    * 13 admitted exactly one doubling past tier640's n = 1.28M, so a
+    * tier1280 corpus at n = 2.56M would have hit the ceiling — the
+    * standing one-doubling-ahead rule bumps the unroll BEFORE the tier
+    * exists). Past it the oracle raises via error() instead of silently
+    * truncating buckets; the OPERATOR has no such bound (planes are
+    * generated on demand). Every k ≤ 13 text decision is unchanged — the
+    * added planes/tables are gated on `i < k` / `t < t_cnt` like all the
+    * others.
     */
-  val EmbOracleK = 13
+  val EmbOracleK = 14
 
   /** max(bitLength(n / target), 3): bitLength(q) = 64 - nlz(q) =
     * floor(log2 q) + 1 for q ≥ 1, 0 at q = 0 — the exact integer log2
@@ -711,13 +713,16 @@ object Dedup {
     * reason. n is estimated from the parquet FILE LENGTH (a driver-side
     * FS metadata read — what every planner does; no Spark job runs, so
     * PlanAuditSpec's construction-time-job audit stays satisfied), then
-    * T follows from the same adaptive-k rule the kernel applies. Floored
-    * at the session shuffle-partition count (small SFs keep their exact
-    * current plans: want = 1 << 32 there), capped at 1M tasks — at
-    * 100 TB the estimate sizes itself (n ≈ 4e11 → k ≈ 31, and the
-    * 256 MB target is per-task, independent of cluster width).
+    * T follows from the same adaptive-k rule the kernel applies. None
+    * when the want is at or below the session shuffle-partition count
+    * (small SFs keep an UNNUMBERED repartition so AQE can still coalesce
+    * the exchange — round 13 learned that pinning an explicit count at
+    * tiny SFs disables coalescing and cost d4/d16 50-70% at sf0.1);
+    * capped at 1M tasks — at 100 TB the estimate sizes itself
+    * (n ≈ 4e11 → k ≈ 31, and the 256 MB target is per-task, independent
+    * of cluster width).
     */
-  private[graft] def embShufflePartitions(s: SparkSession, dir: String): Int = {
+  private[graft] def embShufflePartitions(s: SparkSession, dir: String): Option[Int] = {
     val nEst = math.max(1L, tableFileBytes(s, dir, "embeddings") / EmbDiskRowBytes)
     val t = embTablesFor(embK(nEst))
     // doubles: n·T·rowBytes overflows Long past ~2e14 rows
@@ -735,14 +740,29 @@ object Dedup {
   }
 
   /** Partition count for `sortBytes` of post-shuffle sort data: 256 MB
-    * tasks, floored at the session shuffle-partition count (small SFs
-    * keep their exact current plans), capped at 1M tasks.
+    * tasks, capped at 1M tasks. None when the computed want does not
+    * EXCEED the session shuffle-partition count: an explicit count on
+    * `repartition` disables AQE partition coalescing on that exchange
+    * (RepartitionByExpression with optNumPartitions set is final), which
+    * is pure loss when the data is small — the round-13 clean bench
+    * priced it at +71%/+49% on d4/d16 at sf0.1. Tier-scale plans are
+    * unchanged: there want > floor and the explicit sized count still
+    * rules (AQE never coalesces those 256 MB tasks anyway).
     */
-  private def sizedPartitions(s: SparkSession, sortBytes: Double): Int = {
+  private def sizedPartitions(s: SparkSession, sortBytes: Double): Option[Int] = {
     val want = math.ceil(sortBytes / EmbPartBytes)
     val floor = s.sessionState.conf.numShufflePartitions
-    math.max(floor, math.min(want, 1 << 20).toInt)
+    if (want > floor) Some(math.min(want, 1 << 20).toInt) else None
   }
+
+  /** Hash-repartition by `cols`, with an explicit task count only when
+    * the sizing says the exchange outgrows the session default (see
+    * [[sizedPartitions]]) — otherwise unnumbered, leaving AQE free to
+    * coalesce.
+    */
+  private def repartitionSized[T](ds: Dataset[T], n: Option[Int],
+                                  cols: Column*): Dataset[T] =
+    n.fold(ds.repartition(cols: _*))(ds.repartition(_, cols: _*))
 
   /** Measured sort-data expansion of the d4/d16 shingle exchange over
     * the documents table's ON-DISK size: compressed text explodes to
@@ -755,7 +775,7 @@ object Dedup {
     */
   private val ShingleSortExpansion = 320.0
 
-  private[graft] def shingleShufflePartitions(s: SparkSession, dir: String): Int =
+  private[graft] def shingleShufflePartitions(s: SparkSession, dir: String): Option[Int] =
     sizedPartitions(s, tableFileBytes(s, dir, "documents") * ShingleSortExpansion)
 
   /** Band width as a parameter — the shipped operator pins
@@ -784,13 +804,18 @@ object Dedup {
     // construction-time jobs), and the plan re-adapts per run as the
     // table grows
     val nRow = normed.groupBy().agg(count(lit(1)).as("n_vec"))
-    normed.crossJoin(broadcast(nRow))
+    val exploded = normed.crossJoin(broadcast(nRow))
       .as[(Long, Array[Float], Double, Long)]
       .mapPartitions { it =>
         val widened = new Array[Double](Similarity.Dims)
         it.flatMap { case (id, embf, norm, n) =>
           val k = embK(n)
           val tCount = embTablesFor(k)
+          // the reused buffer is only safe when every row fills ALL of
+          // it — a short vector would silently inherit the previous
+          // row's tail (round-13 ADVICE); fail loudly instead
+          require(embf.length == Similarity.Dims,
+            s"embedding dim ${embf.length} != ${Similarity.Dims} (vec_id=$id)")
           var d = 0
           while (d < embf.length) { widened(d) = embf(d).toDouble; d += 1 }
           val bs = kernelBuckets(widened, k, tCount)
@@ -799,7 +824,7 @@ object Dedup {
       }
       .toDF("tbl", "bkt", "vec_id", "embf", "norm")
       .as[(Int, Long, Long, Array[Float], Double)]
-      .repartition(embShufflePartitions(s, dir), col("tbl"), col("bkt"))
+    repartitionSized(exploded, embShufflePartitions(s, dir), col("tbl"), col("bkt"))
       .sortWithinPartitions("tbl", "bkt", "vec_id")
       .mapPartitions { it =>
         val buf = it.buffered

@@ -157,15 +157,16 @@ object Similarity {
   val S2BucketTarget = 256
 
   /** Oracle unroll depth: the DuckDB text carries S2OracleK gated plane
-    * literals, covering every k the gate tiers can select — k = 13 admits
-    * n < 2¹³·256 = 2,097,152 vectors (round 13; was 12/1M — tier640's
-    * n = 1.28M sat exactly at the old ceiling, the d5 twin). Past it the
-    * oracle raises via error() instead of silently truncating the
-    * bucket. The OPERATOR has no such bound (planes are generated on
-    * demand in the kernel); every k ≤ 12 text decision is unchanged —
-    * the added plane is gated on `i < k` like all the others.
+    * literals, covering every k the gate tiers can select — k = 14 admits
+    * n < 2¹⁴·256 = 4,194,304 vectors (round 14: one doubling ahead of a
+    * future tier1280's n = 2.56M, the d5 twin — see Dedup.EmbOracleK).
+    * Past it the oracle raises via error() instead of silently
+    * truncating the bucket. The OPERATOR has no such bound (planes are
+    * generated on demand in the kernel); every k ≤ 13 text decision is
+    * unchanged — the added plane is gated on `i < k` like all the
+    * others.
     */
-  val S2OracleK = 13
+  val S2OracleK = 14
 
   /** Deterministic pseudo-random hyperplanes in [-1,1): splitmix64 over
     * (p,d) (see [[graft.functions.SignLshImpl.coeff]] — the kernel and

@@ -714,9 +714,11 @@ class PipelineSpec extends SparkSpec {
     // must stay strictly above every gate-reachable k (tier80 = 160k
     // vectors -> k = 10), or the guard starts blinding the driver gate
     // to reachable adaptive regimes again (the r9 defect).
-    // round 13: tier640 (n = 1.28M -> k = 13) is the deepest persisted
-    // tier; the unroll must admit it plus one more doubling of headroom
-    assert(Dedup.EmbOracleK >= Dedup.embK(2097152L - 1),
+    // round 14: tier640 (n = 1.28M -> k = 13) is the deepest persisted
+    // tier; the one-doubling-ahead rule requires the unroll to admit a
+    // FULL tier1280 doubling (n = 2.56M -> k = 14; round 13's k = 13
+    // only reached n < 2,097,152 — ~1.64x headroom, not a doubling)
+    assert(Dedup.EmbOracleK >= Dedup.embK(1280L * 2000),
       s"d5 oracle unroll (${Dedup.EmbOracleK}) below gate-tier headroom")
     assert(Dedup.d5Sql.contains(s"k > ${Dedup.EmbOracleK} THEN"),
       "d5Sql must guard exactly at the unroll depth, nowhere below")
@@ -771,8 +773,9 @@ class PipelineSpec extends SparkSpec {
     // output bucket column — and by checking the k=4 bucket would differ
     // for at least one query (so the assertion cannot pass vacuously).
     // round 11: k is uncapped; the oracle-unroll depth must keep strict
-    // headroom over every gate-reachable k (round 13: tier640 -> k = 13)
-    assert(Similarity.S2KMin == 4 && Similarity.S2OracleK >= 13)
+    // headroom over every gate-reachable k — one full tier doubling
+    // ahead of the deepest persisted tier (round 14: tier1280 -> k = 14)
+    assert(Similarity.S2KMin == 4 && Similarity.S2OracleK >= 14)
     val dims = Similarity.Dims
     def u01(x0: Long): Double = {
       var z = x0 + 0x9E3779B97F4A7C15L

@@ -136,8 +136,36 @@ def main():
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    # provenance stamp written by graft.Verify next to the dumps: the
+    # artifact names the commit/sfdir the SPARK side ran against, so a
+    # gate built from stale dumps self-identifies (round-13 verdict #4)
+    meta = {}
+    meta_p = os.path.join(outdir, "_meta.json")
+    if os.path.exists(meta_p):
+        try:
+            meta = json.load(open(meta_p))
+        except Exception as e:
+            meta = {"meta_error": str(e)}
     npass = nfail = 0
     import time
+
+    def dump_json(complete):
+        # incremental: rewritten after EVERY query (round 13 lost a
+        # 86-passes-deep tier gate because the artifact was only written
+        # at completion and the round ended first). complete=False marks
+        # a partial artifact so it can never be mistaken for the gate.
+        if not json_out:
+            return
+        tmp = json_out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sfdir": sfdir, "complete": bool(complete),
+                       "git_sha": meta.get("git_sha"),
+                       "git_dirty": meta.get("git_dirty"),
+                       "n_pass": int(npass), "n_fail": int(nfail),
+                       "queries": results},
+                      f, indent=1, sort_keys=True)
+        os.replace(tmp, json_out)
+
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -147,6 +175,7 @@ def main():
             print(f"FAIL {name}: no spark output")
             results[name] = {"status": "err", "issues": ["no spark output"]}
             nfail += 1
+            dump_json(False)
             continue
         try:
             odf = con.execute(oracle[name]).df()
@@ -156,6 +185,7 @@ def main():
             results[name] = {"status": "err",
                              "issues": [f"oracle sql error: {e}"]}
             nfail += 1
+            dump_json(False)
             continue
         notes = []
         issues = compare(name, sdf, odf, notes)
@@ -168,10 +198,12 @@ def main():
             nfail += 1
         else:
             print(f"PASS {name} ({len(sdf)} rows, {t_q:.1f}s)", flush=True)
-            results[name] = {"status": "pass", "rows": len(sdf)}
+            results[name] = {"status": "pass", "rows": len(sdf),
+                             "oracle_sec": round(t_q, 1)}
             if notes:
                 results[name]["notes"] = notes
             npass += 1
+        dump_json(False)
     # queries with no oracle → rows-only check
     outs = {os.path.basename(p) for p in glob.glob(os.path.join(outdir, "*"))
             if os.path.isdir(p)}
@@ -182,11 +214,8 @@ def main():
         npass += ok
         nfail += not ok
     print(f"== {npass} pass, {nfail} fail")
+    dump_json(True)
     if json_out:
-        with open(json_out, "w") as f:
-            json.dump({"sfdir": sfdir, "n_pass": int(npass),
-                       "n_fail": int(nfail), "queries": results},
-                      f, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
     sys.exit(1 if nfail else 0)
 
