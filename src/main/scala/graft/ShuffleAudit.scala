@@ -132,7 +132,14 @@ object ShuffleAudit {
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // GC barrier between ops — TimeOp's ENOSPC lesson applies here
+      // too: shuffle files are deleted by the ContextCleaner only after
+      // their ShuffleDependency is GC'd, and back-to-back tier640 ops
+      // (d5 writes ~26 GB each) race the async cleaner to a full disk
+      // unless each op's garbage is collected before the next one runs
+      System.gc(); Thread.sleep(2000)
       val (ba, sa, spA, pkA) = measureFull(acc) { fn(spark, dirA).count() }
+      System.gc(); Thread.sleep(2000)
       val (bb, sb, spB, pkB) = measureFull(acc) { fn(spark, dirB).count() }
       val r = Row(name, ba, sa, spA, pkA, bb, sb, spB, pkB)
       println(f"[shuffleaudit] $name bytesA=$ba stagesA=$sa bytesB=$bb stagesB=$sb ratio=${r.ratio}%.2f spillB=$spB peakMemB=$pkB")

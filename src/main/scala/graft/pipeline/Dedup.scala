@@ -339,6 +339,21 @@ object Dedup {
     * This replaces the round-2 shape (distinct + df pre-agg + semi-join
     * + self-join = three shuffles by the same key) with one shuffle and
     * O(cap) state. Returns (doc_a, doc_b, inter, na, nb), doc_a < doc_b.
+    *
+    * Downstream of the kernel (round 14, from the tier320 executed-plan
+    * probe): the pair stream is ~1.75 rows per shingle row and its keys
+    * are ~UNIQUE per shingle group (t320: 146M pair rows -> 139M
+    * distinct pairs), so a groupBy's partial HashAggregate reduced
+    * nothing while spilling 11.5 GB, the final agg spilled 5.9 GB, and
+    * the two sizes joins planned as SortMergeJoin sorted the 139M-row
+    * stream twice (8.7 GB more spill) against a build side a thousandth
+    * its size. The shipped shape: intersections via ONE sized exchange
+    * on (a, b) + in-partition sort + the same streaming run-length
+    * count the kernel uses (O(1) agg state, no partial agg, no hash
+    * fallback at any scale), and the sizes joins hinted SHUFFLE_HASH so
+    * the pair stream is hashed against the small per-doc size table
+    * instead of being sorted (build side = n_docs/P rows per task —
+    * bounded at 100 TB by the same partition sizing).
     */
   private def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -374,14 +389,34 @@ object Dedup {
         }.takeWhile(_.isDefined).flatMap(_.get)
       }
       .toDF("kind", "a", "b")
-    val inter = tagged.filter(col("kind") === 0)
-      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // pair intersections: sized exchange + in-partition sort + streaming
+    // run-length count — the kernel doctrine applied to its own output
+    // (see scaladoc: partial hash aggregation is pure spill here)
+    val pairs = tagged.filter(col("kind") === 0)
+      .select(col("a"), col("b")).as[(Long, Long)]
+    val inter = repartitionSized(pairs, pairShufflePartitions(s, dir),
+        col("a"), col("b"))
+      .sortWithinPartitions("a", "b")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        Iterator.continually {
+          if (!buf.hasNext) None
+          else {
+            val (a0, b0) = buf.head
+            var c = 0L
+            while (buf.hasNext && buf.head == ((a0, b0))) { buf.next(); c += 1 }
+            Some((a0, b0, c))
+          }
+        }.takeWhile(_.isDefined).map(_.get)
+      }
+      .toDF("doc_a", "doc_b", "inter")
     val sizes = tagged.filter(col("kind") === 1)
       .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+        .hint("SHUFFLE_HASH"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+        .hint("SHUFFLE_HASH"), "doc_b")
   }
 
   /** The oracle mirror of [[shingleOverlap]]'s output (relational form:
@@ -777,6 +812,17 @@ object Dedup {
 
   private[graft] def shingleShufflePartitions(s: SparkSession, dir: String): Option[Int] =
     sizedPartitions(s, tableFileBytes(s, dir, "documents") * ShingleSortExpansion)
+
+  /** The pair exchange's sort-data expansion: the kernel emits ~1.75
+    * pair rows per (df-capped) shingle row (t320 probe: 146M pairs from
+    * 83M shingles), same two-long row shape — so the pair exchange's
+    * sort data is ~1.75x the shingle exchange's. 560 ≈ 1.75 x 320 with
+    * the same order-of-magnitude-only intent.
+    */
+  private val PairSortExpansion = 560.0
+
+  private[graft] def pairShufflePartitions(s: SparkSession, dir: String): Option[Int] =
+    sizedPartitions(s, tableFileBytes(s, dir, "documents") * PairSortExpansion)
 
   /** Band width as a parameter — the shipped operator pins
     * w = EmbBandW; BandRecall passes an effectively-infinite width too

@@ -1,0 +1,64 @@
+#!/bin/bash
+# Round-14 Phase V+C: HEAD-stamped tier dumps, then the DuckDB gates.
+# Run ONLY after Phase W (audits/bench) is done — DuckDB checks are
+# contention-immune but the wall/spill artifacts are not.
+#
+# Ordering inside: d5's tier320 oracle is the long pole, so its dump
+# goes first and its check starts the moment the dump exists; the
+# remaining dumps and checks proceed around it (correctness checks
+# tolerate concurrency by design).
+set -u
+cd /root/repo
+log() { echo "[phaseVC $(date +%H:%M:%S)] $*" >> /tmp/phaseVC.log; }
+
+rm -rf /tmp/verify_t320_r14 /tmp/verify_t640_r14
+
+log "dump t320 d5 (long pole first)"
+GRAFT_AQE_INITIAL=512 SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify target/tier320 /tmp/verify_t320_r14 d5_embed_dedup" \
+  > /tmp/verify_t320_d5_r14.log 2>&1 || { log "DUMP t320 d5 FAILED"; exit 1; }
+
+log "start DuckDB d5 t320 (threads=20 mem=60GB)"
+GRAFT_CHECK_JSON=/tmp/ct320_d5.json GRAFT_CHECK_THREADS=20 GRAFT_CHECK_MEM=60GB \
+  python3 tools/check.py target/tier320 /tmp/verify_t320_r14 d5_embed_dedup \
+  > /tmp/check_t320_d5_r14.log 2>&1 &
+D5PID=$!
+
+log "dump t320 rest (110 ops)"
+REST=$(python3 - <<'EOF'
+import json
+o = sorted(json.load(open('/tmp/verify_t320_r14/oracle_sql.json')))
+print(','.join(k for k in o if k != 'd5_embed_dedup'))
+EOF
+)
+GRAFT_AQE_INITIAL=512 SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify target/tier320 /tmp/verify_t320_r14 $REST" \
+  > /tmp/verify_t320_rest_r14.log 2>&1 || { log "DUMP t320 rest FAILED"; exit 1; }
+
+log "dump t640 LSH subset"
+GRAFT_AQE_INITIAL=512 SPARK_GRAFT_CPUS=32 sbt -batch \
+  "runMain graft.Verify target/tier640 /tmp/verify_t640_r14 d5_embed_dedup,s2_lsh_ann,s7_multiprobe,s9_recall_matrix,s10_knn_graph" \
+  > /tmp/verify_t640_r14.log 2>&1 || { log "DUMP t640 FAILED"; exit 1; }
+
+log "start DuckDB t320 rest (threads=8 mem=20GB)"
+GRAFT_CHECK_JSON=/tmp/ct320_rest.json GRAFT_CHECK_THREADS=8 GRAFT_CHECK_MEM=20GB \
+  python3 tools/check.py target/tier320 /tmp/verify_t320_r14 "$REST" \
+  > /tmp/check_t320_rest_r14.log 2>&1 &
+RESTPID=$!
+
+log "start DuckDB t640 LSH minus d5 (threads=8 mem=25GB)"
+GRAFT_CHECK_JSON=/tmp/ct640_lsh.json GRAFT_CHECK_THREADS=8 GRAFT_CHECK_MEM=25GB \
+  python3 tools/check.py target/tier640 /tmp/verify_t640_r14 s2_lsh_ann,s7_multiprobe,s9_recall_matrix,s10_knn_graph \
+  > /tmp/check_t640_lsh_r14.log 2>&1 &
+T640PID=$!
+
+wait $RESTPID; log "t320 rest check done rc=$?"
+wait $T640PID; log "t640 check done rc=$?"
+wait $D5PID;   log "t320 d5 check done rc=$?"
+
+log "merge tier320 gate"
+python3 tools/merge_correctness.py CORRECTNESS_SF32.json \
+  /tmp/ct320_d5.json /tmp/ct320_rest.json >> /tmp/phaseVC.log 2>&1 \
+  && log "CORRECTNESS_SF32.json written" || log "MERGE t320 FAILED"
+
+log "PHASEVC_DONE"
