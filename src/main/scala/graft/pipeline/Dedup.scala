@@ -733,11 +733,17 @@ object Dedup {
   private val EmbDiskRowBytes = 264L
   private val EmbExecRowBytes = 288L
 
-  /** Post-shuffle bytes one (tbl, bkt) sort task should own: 256 MB
-    * (the classic healthy-task size; ~2.5x headroom under the default
-    * executor memory-per-core before sort spill).
+  /** Post-shuffle SORT data one kernel-exchange task should own: 128 MB.
+    * Round 14 halved the r13 256 MB target after the shared-session
+    * audit caught the lesson a solo ProbeExec can't: a 255 MB-sort task
+    * fits the execution pool when the op runs ALONE (14.2 GB/32
+    * concurrent ≈ 440 MB/task), but under a neighbor op's storage-pool
+    * pressure in a shared session the same sort spilled 11 GB. 128 MB
+    * data (~190 MB sorter allocation) keeps 32 concurrent tasks at
+    * ~6 GB — robust headroom at any session state, still big enough to
+    * amortize task scheduling.
     */
-  private val EmbPartBytes = 256L << 20
+  private val SortPartBytes = 128L << 20
 
   /** Shuffle partition count for d5's (tbl, bkt) exchange, sized to the
     * EXPLODED data volume (n·T rows of ~EmbExecRowBytes) instead of the
@@ -749,13 +755,13 @@ object Dedup {
     * FS metadata read — what every planner does; no Spark job runs, so
     * PlanAuditSpec's construction-time-job audit stays satisfied), then
     * T follows from the same adaptive-k rule the kernel applies. None
-    * when the want is at or below the session shuffle-partition count
-    * (small SFs keep an UNNUMBERED repartition so AQE can still coalesce
-    * the exchange — round 13 learned that pinning an explicit count at
-    * tiny SFs disables coalescing and cost d4/d16 50-70% at sf0.1);
-    * capped at 1M tasks — at 100 TB the estimate sizes itself
-    * (n ≈ 4e11 → k ≈ 31, and the 256 MB target is per-task, independent
-    * of cluster width).
+    * when the want is at or below the session's RAW shuffle-partition
+    * count (small SFs keep an UNNUMBERED repartition so AQE can still
+    * coalesce the exchange — round 13 learned that pinning an explicit
+    * count at tiny SFs disables coalescing and cost d4/d16 50-70% at
+    * sf0.1); capped at 1M tasks — at 100 TB the estimate sizes itself
+    * (n ≈ 4e11 → k ≈ 31, and the SortPartBytes target is per-task,
+    * independent of cluster width).
     */
   private[graft] def embShufflePartitions(s: SparkSession, dir: String): Option[Int] = {
     val nEst = math.max(1L, tableFileBytes(s, dir, "embeddings") / EmbDiskRowBytes)
@@ -774,19 +780,30 @@ object Dedup {
     catch { case _: java.io.IOException => 0L }
   }
 
-  /** Partition count for `sortBytes` of post-shuffle sort data: 256 MB
-    * tasks, capped at 1M tasks. None when the computed want does not
-    * EXCEED the session shuffle-partition count: an explicit count on
-    * `repartition` disables AQE partition coalescing on that exchange
-    * (RepartitionByExpression with optNumPartitions set is final), which
-    * is pure loss when the data is small — the round-13 clean bench
-    * priced it at +71%/+49% on d4/d16 at sf0.1. Tier-scale plans are
-    * unchanged: there want > floor and the explicit sized count still
-    * rules (AQE never coalesces those 256 MB tasks anyway).
+  /** Partition count for `sortBytes` of post-shuffle sort data:
+    * SortPartBytes tasks, capped at 1M. None when the computed want does
+    * not EXCEED the session's raw shuffle-partition count: an explicit
+    * count on `repartition` disables AQE partition coalescing on that
+    * exchange (RepartitionByExpression with optNumPartitions set is
+    * final), which is pure loss when the data is small — the round-13
+    * clean bench priced it at +71%/+49% on d4/d16 at sf0.1.
+    *
+    * The floor is deliberately SHUFFLE_PARTITIONS, NOT
+    * conf.numShufflePartitions: with AQE coalescing on, the latter
+    * reports coalescePartitions.initialPartitionNum (512 in tier runs),
+    * which made every tier-scale want look "small" and handed the
+    * kernel sorts to AQE — whose 64 MB SHUFFLE-BYTE coalesce targets
+    * underestimate sorter footprint ~4x (bytes decompress, plus record
+    * pointers), leaving ~255 MB-sort tasks that spilled 11 GB under
+    * shared-session memory pressure (round-14 audit). A sized kernel
+    * exchange must pin its own data-derived count whenever the data
+    * outgrows the session default; AQE coalescing is for the exchanges
+    * the sizing declines.
     */
   private def sizedPartitions(s: SparkSession, sortBytes: Double): Option[Int] = {
-    val want = math.ceil(sortBytes / EmbPartBytes)
-    val floor = s.sessionState.conf.numShufflePartitions
+    val want = math.ceil(sortBytes / SortPartBytes)
+    val floor = s.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS)
     if (want > floor) Some(math.min(want, 1 << 20).toInt) else None
   }
 
@@ -801,25 +818,25 @@ object Dedup {
 
   /** Measured sort-data expansion of the d4/d16 shingle exchange over
     * the documents table's ON-DISK size: compressed text explodes to
-    * one (h, doc_id) row per shingle, and the external sorter holds
-    * ~180 B per row (UnsafeRow + sort pointer + spill serialization) —
-    * the t320 audit measured ~60 GB of sort data against 196 MB of
-    * parquet (45.6 GB of it SPILLED at the session-fixed 32 partitions,
-    * the same defect class d5's exchange had). 320 disk-bytes-to-sort-
-    * bytes covers it with margin; order-of-magnitude sizing only.
+    * one (h, doc_id) row per shingle. The round-14 tier320 executed-plan
+    * probe put the shingle Sort's total in-memory footprint at 4.7 GB
+    * against 196 MB of parquet — ~24x (the r13 calibration of 320x had
+    * folded in the DOWNSTREAM pair stages' sort/agg data, which are
+    * sized separately now). 48 = 2x margin over the measured 24x;
+    * order-of-magnitude sizing only.
     */
-  private val ShingleSortExpansion = 320.0
+  private val ShingleSortExpansion = 48.0
 
   private[graft] def shingleShufflePartitions(s: SparkSession, dir: String): Option[Int] =
     sizedPartitions(s, tableFileBytes(s, dir, "documents") * ShingleSortExpansion)
 
   /** The pair exchange's sort-data expansion: the kernel emits ~1.75
     * pair rows per (df-capped) shingle row (t320 probe: 146M pairs from
-    * 83M shingles), same two-long row shape — so the pair exchange's
-    * sort data is ~1.75x the shingle exchange's. 560 ≈ 1.75 x 320 with
-    * the same order-of-magnitude-only intent.
+    * 83M shingles), same two-long row shape; the probe measured the
+    * pair Sort's footprint at 8.4 GB against 196 MB of parquet — ~43x.
+    * 86 = 2x margin, same order-of-magnitude-only intent.
     */
-  private val PairSortExpansion = 560.0
+  private val PairSortExpansion = 86.0
 
   private[graft] def pairShufflePartitions(s: SparkSession, dir: String): Option[Int] =
     sizedPartitions(s, tableFileBytes(s, dir, "documents") * PairSortExpansion)
