@@ -858,9 +858,28 @@ object Dedup {
     // dirty-page writeback throttle and wall went e=2.5 on an e=1.43
     // candidate-mass doubling. norm stays the double Similarity.normed
     // computed (the oracle's fold), 8 B.
-    val normed = Similarity.normed(s, dir)
+    //
+    // The explode's MAP side is sized too (round 14): the T-way fan-out
+    // turns each input split into T× its bytes of shuffle data, so at
+    // tier640 the parquet reader's ~11 natural splits each wrote
+    // ~2.8 GB through the shuffle writer's external sorter against a
+    // ~1.3 GB memory share — ~24 GB of MAP-side spill that plan-node
+    // probes (reduce-side Sorts) cannot see, and the mechanistic
+    // identity of the CPU-halving run's ~48 s fixed-I/O term. The same
+    // count that sizes the reduce side (exploded bytes / SortPartBytes)
+    // sizes the map side: repartitioning the ~n·264 B NARROW input
+    // (0.3 GB at t640, vs the 24 GB spill it prevents) gives every map
+    // task ~SortPartBytes of exploded output. Hash on vec_id, not
+    // round-robin: ids are dense so the distribution is even, and it
+    // avoids sortBeforeRepartition's defensive row sort. Row-local
+    // bucketing + the downstream (tbl,bkt) sort make the output
+    // invariant to this placement. None at small SFs (same
+    // sizedPartitions floor), keeping the sf0.01/0.1 plans untouched.
+    val sized = embShufflePartitions(s, dir)
+    val normed0 = Similarity.normed(s, dir)
       .select(col("vec_id"),
         col("emb").cast("array<float>").as("embf"), col("norm"))
+    val normed = sized.fold(normed0)(normed0.repartition(_, col("vec_id")))
     // the vector count rides the plan as a broadcast 1-row aggregate
     // (bounded by construction), so k is chosen from n INSIDE the query —
     // no driver-side count during construction (PlanAuditSpec forbids
@@ -887,7 +906,7 @@ object Dedup {
       }
       .toDF("tbl", "bkt", "vec_id", "embf", "norm")
       .as[(Int, Long, Long, Array[Float], Double)]
-    repartitionSized(exploded, embShufflePartitions(s, dir), col("tbl"), col("bkt"))
+    repartitionSized(exploded, sized, col("tbl"), col("bkt"))
       .sortWithinPartitions("tbl", "bkt", "vec_id")
       .mapPartitions { it =>
         val buf = it.buffered
