@@ -347,13 +347,15 @@ object Dedup {
     * nothing while spilling 11.5 GB, the final agg spilled 5.9 GB, and
     * the two sizes joins planned as SortMergeJoin sorted the 139M-row
     * stream twice (8.7 GB more spill) against a build side a thousandth
-    * its size. The shipped shape: intersections via ONE sized exchange
-    * on (a, b) + in-partition sort + the same streaming run-length
-    * count the kernel uses (O(1) agg state, no partial agg, no hash
-    * fallback at any scale), and the sizes joins hinted SHUFFLE_HASH so
-    * the pair stream is hashed against the small per-doc size table
-    * instead of being sorted (build side = n_docs/P rows per task —
-    * bounded at 100 TB by the same partition sizing).
+    * its size. The shipped shape (second restructure, later in round
+    * 14): BOTH tagged row kinds cross ONE sized exchange on `a`; a
+    * sorted streaming pass counts each doc's size (kind=1 run) and then
+    * every (a,b) run's intersection with na already in hand — O(1) agg
+    * state, no partial agg, the kernel's map stage executes once (the
+    * old three-branch shape re-ran it per branch), and only the nb
+    * lookup remains a SHUFFLE_HASH join against the doc-sized size
+    * table (build side = n_docs/P rows per task — bounded at 100 TB by
+    * the same partition sizing).
     */
   private def shingleOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -389,34 +391,69 @@ object Dedup {
         }.takeWhile(_.isDefined).flatMap(_.get)
       }
       .toDF("kind", "a", "b")
-    // pair intersections: sized exchange + in-partition sort + streaming
-    // run-length count — the kernel doctrine applied to its own output
-    // (see scaladoc: partial hash aggregation is pure spill here)
-    val pairs = tagged.filter(col("kind") === 0)
-      .select(col("a"), col("b")).as[(Long, Long)]
-    val inter = repartitionSized(pairs, pairShufflePartitions(s, dir),
-        col("a"), col("b"))
-      .sortWithinPartitions("a", "b")
+    // Pair intersections AND per-doc sizes off ONE exchange keyed by `a`
+    // (round 14, guide §2.3/§2.4). The previous shape branched `tagged`
+    // three ways — pairs through their own (a,b) exchange, sizes through
+    // a groupBy(a) exchange, then TWO shuffled-hash joins re-exchanging
+    // the pair stream by a and again by b — and because the branches are
+    // separate exchanges, the shingle kernel above executed once per
+    // branch map-stage (executed-plan probe at sf0.1: the h-exchange's
+    // records were read 2x its write; at tier320 that is the 140M-row
+    // kernel run twice). Shipping BOTH row kinds through one sized
+    // exchange on `a` lets a single sorted streaming pass count na
+    // (kind=1 run, sorted first) and then each (a,b) run's inter with
+    // O(1) state — the kernel runs ONCE, the raw pair occurrences cross
+    // the wire ONCE (they used to cross the (a,b) exchange raw and the
+    // join exchanges aggregated), and only the nb lookup remains a join.
+    // Per-`a` mass is bounded (a doc's pair fan-out <= its shingle count
+    // x MaxShingleDf, its size rows <= its shingle count), so the single
+    // key carries no viral-skew risk — the cap that bounds the kernel
+    // bounds this key too.
+    val staged = repartitionSized(tagged.as[(Int, Long, Long)],
+        pairShufflePartitions(s, dir), col("a"))
+      .sortWithinPartitions(col("a"), col("kind").desc, col("b"))
       .mapPartitions { it =>
         val buf = it.buffered
         Iterator.continually {
           if (!buf.hasNext) None
           else {
-            val (a0, b0) = buf.head
-            var c = 0L
-            while (buf.hasNext && buf.head == ((a0, b0))) { buf.next(); c += 1 }
-            Some((a0, b0, c))
+            val a0 = buf.head._2
+            var na = 0L
+            while (buf.hasNext && buf.head._2 == a0 && buf.head._1 == 1) {
+              buf.next(); na += 1
+            }
+            val nna = na
+            // size row first (one per doc with sizes), then the doc's
+            // (a,b) runs lazily — flatMap consumes each group fully
+            // before continually pulls the next, so state stays O(1)
+            val sizeRow =
+              if (nna > 0) Iterator.single((1, a0, 0L, 0L, nna))
+              else Iterator.empty
+            Some(sizeRow ++ new Iterator[(Int, Long, Long, Long, Long)] {
+              def hasNext: Boolean = buf.hasNext && buf.head._2 == a0
+              def next(): (Int, Long, Long, Long, Long) = {
+                val b0 = buf.head._3
+                var c = 0L
+                while (buf.hasNext && buf.head._2 == a0 && buf.head._3 == b0) {
+                  buf.next(); c += 1
+                }
+                (0, a0, b0, c, nna)
+              }
+            })
           }
-        }.takeWhile(_.isDefined).map(_.get)
+        }.takeWhile(_.isDefined).flatMap(_.get)
       }
-      .toDF("doc_a", "doc_b", "inter")
-    val sizes = tagged.filter(col("kind") === 1)
-      .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-        .hint("SHUFFLE_HASH"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-        .hint("SHUFFLE_HASH"), "doc_b")
+      .toDF("kind", "a", "b", "inter", "na")
+    val pairsNa = staged.filter(col("kind") === 0)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+              col("inter"), col("na"))
+    val sizesB = staged.filter(col("kind") === 1)
+      .select(col("a").as("doc_b"), col("na").as("nb"))
+    // both consumers re-run only the cheap post-exchange streaming pass
+    // (the staged exchange's map stage — kernel included — runs once);
+    // SHUFFLE_HASH keeps the doc-sized nb table the build side instead
+    // of sorting the pair stream (same rationale as before)
+    pairsNa.join(sizesB.hint("SHUFFLE_HASH"), "doc_b")
   }
 
   /** The oracle mirror of [[shingleOverlap]]'s output (relational form:
@@ -1067,10 +1104,17 @@ object Dedup {
       // carry the pre-round label through the checkpoint so convergence is
       // a local scan of already-materialized partitions — not an extra
       // join job against the previous round per iteration
+      // lazy checkpoint + count = ONE pass per iteration (round 14): the
+      // eager form ran a materialization job and then a second count job
+      // over the cached blocks; the convergence count is itself the
+      // action that materializes the round, so fusing them saves a full
+      // labels-table pass per iteration at any scale. The old round's
+      // blocks are released only after the count, so the materializing
+      // pass still reads them cached.
       val next = labels.join(nbrMin, Seq("doc"))
         .select(col("doc"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
                 col("lbl").as("old"))
-        .localCheckpoint() // eager: materialized before the old round goes
+        .localCheckpoint(eager = false)
       changed = next.filter(col("lbl") < col("old")).count()
       // release the superseded round's checkpoint blocks NOW — round 5
       // left every round of every d7/d10 invocation pinned in storage
@@ -1501,18 +1545,23 @@ object Dedup {
       .join(broadcast(bloom))
       .filter(graft.functions.BloomMightContain(col("bloom"), col("h")))
       .select("doc_id", "h").distinct()
-    // exact verify WITHOUT pinning the benchmark as the broadcast side —
-    // a benchmark that outgrew broadcast is the premise of this operator.
-    // INNER join so either side can build (the bloom-positive candidate
-    // set is tiny by construction — the planner broadcasts IT beyond
-    // test scale; a LEFT join would force the bench to the build side),
-    // then the per-doc candidate and confirmed counts — both doc-sized
-    // frames — merge with one small outer join.
-    val perCand = cand.groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-    val perConf = cand.join(bench, "h")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_confirmed"))
-    perCand.join(perConf, Seq("doc_id"), "left")
-      .withColumn("n_confirmed", coalesce(col("n_confirmed"), lit(0L)))
+    // Exact verify as ONE LEFT join + ONE aggregation (round 14, guide
+    // §2.3/§2.4): the previous two-branch shape (inner-join confirmed
+    // count, outer-merged with a separate candidate count) duplicated
+    // the whole cand subtree — scan + shingle explode + distinct +
+    // bloom build + probe ran TWICE per query (executed-plan probe:
+    // two full corpus scans and two ObjectHashAggregate bloom builds).
+    // bench.h is DISTINCT by construction, so the left join preserves
+    // cand's cardinality: n_candidates = COUNT(*), n_confirmed =
+    // COUNT(hit) (nulls skipped) — the oracle's own shape (d12Sql), so
+    // equivalence is by construction. No broadcast hint, same §3
+    // freedom as before: a benchmark that outgrew broadcast is the
+    // operator's premise; the planner may shuffle-join on h either way
+    // (the cand side is the small one by construction then).
+    cand.join(bench.withColumn("hit", lit(1L)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"),
+           count(col("hit")).as("n_confirmed"))
       .withColumn("contaminated", col("n_confirmed") >= ContamThreshold)
       .orderBy("doc_id")
   }

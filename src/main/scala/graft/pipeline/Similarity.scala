@@ -447,7 +447,12 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"))
     val approx = s2LshAnn(s, dir)
       .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+    // the served side is BOUNDED by construction (|S2Queries| queries x
+    // ArmTopK rows), so the pinned broadcast is §5-legitimate — without
+    // it the hit-join sits above two freshly-shuffled subtrees and
+    // planned as a SortMergeJoin sorting both (round-14 plan audit;
+    // same rationale as s9's served-union broadcast)
+    exact.join(broadcast(approx), Seq("q_id", "neighbor_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("k"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
