@@ -810,7 +810,7 @@ object Dedup {
   /** Parquet file length of one table — a driver-side FS metadata read
     * (what every planner does; no Spark job), 0 when absent.
     */
-  private def tableFileBytes(s: SparkSession, dir: String, table: String): Long = {
+  private[graft] def tableFileBytes(s: SparkSession, dir: String, table: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     try path.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getContentSummary(path).getLength
@@ -837,7 +837,7 @@ object Dedup {
     * outgrows the session default; AQE coalescing is for the exchanges
     * the sizing declines.
     */
-  private def sizedPartitions(s: SparkSession, sortBytes: Double): Option[Int] = {
+  private[graft] def sizedPartitions(s: SparkSession, sortBytes: Double): Option[Int] = {
     val want = math.ceil(sortBytes / SortPartBytes)
     val floor = s.sessionState.conf.getConf(
       org.apache.spark.sql.internal.SQLConf.SHUFFLE_PARTITIONS)

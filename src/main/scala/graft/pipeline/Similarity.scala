@@ -932,6 +932,23 @@ object Similarity {
     * effectively-infinite one (exact full in-bucket graph) to measure
     * what the band sacrifices on real skewed tiers.
     */
+  /** Measured expansion of the banded join's DOWNSTREAM sort data over
+    * the embeddings table's on-disk size. The round-14 tier640
+    * executed-plan probe put the partial WindowGroupLimit's sort at a
+    * ~21 GB footprint (11.8 GB peak + 9.15 GB spill over 323 M join
+    * output rows) against 323 MB of embeddings parquet — ~65x. The
+    * mechanism is the d4/d5 lesson one level up: AQE coalesces the
+    * (bucket, band) exchanges by their SHUFFLED bytes (~2 GB
+    * compressed), but the sort above them handles the join's ~80x
+    * row fan-out, so the coalesced tasks under-provision ~10x and the
+    * sort spills. 64 ≈ the measured expansion (the probe's footprint
+    * includes sorter overhead that IS the quantity being sized for);
+    * order-of-magnitude sizing only, same intent as
+    * ShingleSortExpansion. Measured effect at t640: 160 partitions,
+    * window-sort spill 9.15 GB -> 0, wall 85.5 -> 27.8 s.
+    */
+  private val S10BandSortExpansion = 64.0
+
   private[graft] def s10KnnGraphBanded(s: SparkSession, dir: String, bandW: Int): DataFrame = {
     val n0 = normed(s, dir)
     val nRow = n0.groupBy().agg(count(lit(1)).as("n_vec"))
@@ -941,11 +958,22 @@ object Similarity {
     val p = e.withColumn("pos", row_number().over(
         Window.partitionBy("bucket").orderBy("vec_id")).cast("long"))
       .withColumn("band", expr(s"(pos - 1) div ${bandW.toLong}"))
-    val probe = p.withColumn("pband",
+    // size the join-key exchanges to the banded-mass sort they feed
+    // (round 14): an explicit count on BOTH sides pins co-partitioning
+    // for the join AND keeps AQE from coalescing the downstream
+    // window-limit sort into spilling tasks (see S10BandSortExpansion);
+    // None at small SFs — plans there keep AQE coalescing, unchanged
+    val sized = Dedup.sizedPartitions(s,
+      Dedup.tableFileBytes(s, dir, "embeddings") * S10BandSortExpansion)
+    val probe0 = p.withColumn("pband",
       explode(array(col("band") - 1, col("band"), col("band") + 1)))
-    val nbrs = p.select(col("vec_id").as("nb_id"), col("bucket").as("nb_bucket"),
+    val probe = sized.fold(probe0)(
+      probe0.repartition(_, col("bucket"), col("pband")))
+    val nbrs0 = p.select(col("vec_id").as("nb_id"), col("bucket").as("nb_bucket"),
       col("band").as("nb_band"), col("pos").as("nb_pos"),
       col("emb").as("nb_emb"), col("norm").as("nb_norm"))
+    val nbrs = sized.fold(nbrs0)(
+      nbrs0.repartition(_, col("nb_bucket"), col("nb_band")))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nb_id"))
     probe.join(nbrs,
         col("bucket") === col("nb_bucket") && col("pband") === col("nb_band"))
