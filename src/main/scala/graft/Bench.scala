@@ -76,6 +76,45 @@ object Bench {
     */
   val LineBudget = 1990
 
+  /** Fixed stdout roster (round 15): the names the compact line reports
+    * when the full inventory cannot fit the tail-capture window. The old
+    * fallback reported the slowest K *of the current run*, so every round
+    * a handful of ~0.16s queries crossed the cutoff in each direction and
+    * the driver's PERF diff manufactured phantom `dropped_from_bench` /
+    * `new_in_bench` entries at the fast tail (round-14 verdict item 1).
+    * This is exactly the 79 names round 14's line carried — a constant,
+    * so two consecutive runs report the same roster and the diff is
+    * clean. Queries outside the roster (all of them faster than every
+    * roster member by construction) are still measured and published in
+    * [[FullPath]]; the line's note says so. New queries must be ADDED
+    * here to appear on the line.
+    */
+  val LineRoster: Set[String] = Set(
+    "a10_varray_assemble", "a11_hashring_place", "a12_ring_rebalance",
+    "a13_subset_chunked", "a14_dense_read", "a17_read_replicas",
+    "a18_rate_limit", "a19_list_collections", "a1_grid_build",
+    "a20_collection_delete", "a21_subset_read_3d", "a23_leader_redirect",
+    "a27_int_cells", "a28_soft_delete", "a30_varray_3d",
+    "a31_dense_read_3d", "a33_points_quota", "a7_get_by_primary",
+    "a9_delete_by_vid", "d10_dedup_purge", "d11_span_dedup",
+    "d12_bloom_decontaminate", "d13_cluster_mixture", "d14_train_val_split",
+    "d15_curation_funnel", "d16_containment_dedup", "d1_exact_dedup",
+    "d2_minhash_lsh", "d3_simhash", "d4_ngram_jaccard", "d5_embed_dedup",
+    "d6_canonical_dedup", "d7_dup_groups", "d9_decontaminate",
+    "m1_multimodal", "m3_resize", "m5_pair_manifest", "q10_asof_join",
+    "q11_range_join", "q13_antijoin", "q14_union_dedup", "q17_json_props",
+    "q18_part_supplier", "q19_setops", "q1_agg", "q20_above_avg",
+    "q21_grouping_sets", "q23_median", "q24_conversion_funnel",
+    "q2_join_filter", "q3_topk", "q4_exists", "q5_multijoin", "q8_rollup",
+    "s10_knn_graph", "s1_knn_brute", "s2_lsh_ann", "s3_ivf_ann",
+    "s4_sq_ann", "s5_ann_recall", "s6_mips_topk", "s7_multiprobe",
+    "s8_pq_ann", "s9_recall_matrix", "st10_stream_quality_gate",
+    "st11_stream_heavy_hitters", "st1_stream_window", "st3_stream_session",
+    "st4_stream_join", "st5_stream_grid_build", "st6_stream_throttle",
+    "st7_stream_decontaminate", "st8_stream_mixture", "t11_bigram_surprisal",
+    "t12_heavy_hitters", "t5_top_terms", "t7_repetition",
+    "t8_quality_filter", "t9_rarity_score")
+
   /** Locale-pinned %.{prec}f: the bench line is machine-parsed JSON, and
     * the default-locale formatter under a comma-decimal locale would emit
     * invalid JSON (and defeat fmt's dot-based trailing-zero trim).
@@ -114,13 +153,24 @@ object Bench {
     }
     // 10ms resolution normally; degrade stepwise to 100ms. Past ~92 keys
     // the FULL map cannot fit at any precision (name bytes alone are
-    // ~19/key against the 2000-char window), so the next tier keeps the
-    // SLOWEST K queries at 10ms resolution with an explicit marker —
-    // the heavy ops are what a perf reader wants, and real values for
-    // them beat all keys at useless whole-second resolution. Last
-    // resort: drop the map entirely — a line whose head falls out of
-    // the capture window is worth less than a short one (full precision
-    // always lives in FullPath).
+    // ~19/key against the 2000-char window), so the next tier is the
+    // FIXED roster (LineRoster — the 79 historically-slowest names,
+    // round-to-round stable so the driver's PERF diff never sees
+    // membership churn), then the legacy slowest-K-of-this-run tier
+    // (engages only if the roster line itself overflows — e.g. every
+    // roster op regressing to 100s), and as a last resort no map at all
+    // — a line whose head falls out of the capture window is worth less
+    // than a short one (full precision always lives in FullPath).
+    def renderRoster(prec: Int): Option[String] = {
+      val sel = queries.filter { case (n, _) => LineRoster(n) }
+      if (sel.isEmpty) None
+      else {
+        val qs = sel.sortBy { case (n, v) => (-v, n) }
+          .map { case (k, v) => s""""$k":${fmt(v, prec)}""" }
+          .mkString("{", ",", "}")
+        Some(s"""{"metric":"total","value":${fnum(total, 2)},"unit":"sec","queries":$qs,"queries_note":"fixed roster ${sel.size} of ${queries.size}; full map in $FullPath"$fl,"sf":"$sf"}""")
+      }
+    }
     def renderTop(k: Int): String = {
       val top = queries.sortBy { case (n, v) => (-v, n) }.take(k)
         .map { case (n, v) => s""""$n":${fmt(v, 2)}""" }
@@ -146,6 +196,8 @@ object Bench {
     }
     (2 to 1 by -1).iterator.map(render)
       .find(_.length <= LineBudget)
+      .orElse((2 to 1 by -1).iterator.flatMap(p => renderRoster(p))
+        .find(_.length <= LineBudget))
       .orElse(renderTopFit)
       .getOrElse(noQueries)
   }

@@ -14,9 +14,22 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <outDir> [suffix] [name,name,...]")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val suffix = args.lift(1).getOrElse("before")
     val subset = args.lift(2).map(_.split(",").toSet)
+    // an unknown name in the subset silently produced an empty output dir
+    // (round-14 ADVICE): fail loudly instead
+    subset.foreach { set =>
+      val unknown = set -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"PlanDump: unknown quer${if (unknown.size == 1) "y" else "ies"} " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)

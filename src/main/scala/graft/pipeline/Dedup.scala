@@ -246,21 +246,82 @@ object Dedup {
        |  WHERE c.df <= $MaxBandDf OR l.doc_id = c.anchor)""".stripMargin
   }
 
-  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    // no .cache(): the signature aggregation ends in an exchange that
-    // Spark's ReusedExchange dedupes across the three consumers, without
-    // pinning storage memory for the session lifetime
-    val sig = signatures(s, dir)
-    val pairs = candidatePairs(sig)
-    val sa = sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"))
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("n_match",
-        size(filter(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y), b => b)).cast("long"))
+  /** [[candidatePairs]] with the pair's signature agreement computed IN
+    * the kernel (round 15, guide §2.3/§2.4): band rows carry their doc's
+    * 16-long signature across the one (band, bkey) exchange, so the
+    * group-streaming pass that forms each pair already holds both sides'
+    * sigs and emits (doc_a, doc_b, n_match) directly. This replaces d2's
+    * former epilogue — re-joining the signature table once per pair SIDE
+    * — under which the signature aggregation's shuffle was read (and its
+    * doc-sized final agg re-executed) three times: once under the band
+    * explode, once as sigs_a, once as sigs_b. One signature final agg,
+    * zero sig joins, two fewer pair-stream exchanges; the band exchange
+    * widens from (band, bkey, doc_id) to +128 B of sigs per row, but the
+    * rows it carries are doc-count-scaled (4/doc — sub-linear in corpus
+    * bytes), while the reads it removes were the same sig payload crossing
+    * the wire TWICE more via the join sides. n_match is a pure function
+    * of the (unordered) pair — both sides' sigs are in hand — so the
+    * distinct over (doc_a, doc_b, n_match) dedupes multi-band hits
+    * exactly as the old distinct over (doc_a, doc_b) did. Buffered state
+    * stays O(MaxBandDf) rows, now MaxBandDf × 16 longs.
+    */
+  private def scoredCandidatePairs(sig: DataFrame): DataFrame = {
+    val session = sig.sparkSession
+    import session.implicits._
+    val bands = sig
+      .select(col("doc_id"), explode(array((0 until Bands).map(lit(_)): _*)).as("band"), col("sigs"))
+      .withColumn("bkey", graft.functions.GenKey(concat_ws(",",
+        (1 to NumPerm / Bands).map(r => element_at(col("sigs"), col("band") * (NumPerm / Bands) + r)): _*)))
+      .select(col("band"), col("bkey"), col("doc_id"), col("sigs"))
+    bands
+      .repartition(col("band"), col("bkey"))
+      .sortWithinPartitions("band", "bkey", "doc_id")
+      .as[(Int, Long, Long, Seq[Long])]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        // exact per-position agreement count — the kernel mirror of the
+        // old zip_with(sigs_a, sigs_b, _ === _) filter-size epilogue (and
+        // of the oracle's list_filter(range, i -> sa[i] = sb[i]) length)
+        def nMatch(x: Seq[Long], y: Seq[Long]): Long = {
+          var i = 0; var c = 0L
+          while (i < NumPerm) { if (x(i) == y(i)) c += 1L; i += 1 }
+          c
+        }
+        Iterator.continually {
+          if (!buf.hasNext) None
+          else {
+            val (band0, key0, anchor, asig) = buf.next()
+            def inGroup = buf.hasNext && buf.head._1 == band0 && buf.head._2 == key0
+            val docs = scala.collection.mutable.ArrayBuffer((anchor, asig))
+            while (docs.length < MaxBandDf && inGroup) {
+              val r = buf.next(); docs += ((r._3, r._4))
+            }
+            Some(if (!inGroup) {
+              docs.indices.iterator.flatMap(i =>
+                (i + 1 until docs.length).iterator.map { j =>
+                  (docs(i)._1, docs(j)._1, nMatch(docs(i)._2, docs(j)._2))
+                })
+            } else {
+              docs.iterator.drop(1).map { case (d, dsig) => (anchor, d, nMatch(asig, dsig)) } ++
+                new Iterator[(Long, Long, Long)] {
+                  def hasNext: Boolean = inGroup
+                  def next(): (Long, Long, Long) = {
+                    val r = buf.next(); (anchor, r._3, nMatch(asig, r._4))
+                  }
+                }
+            })
+          }
+        }.takeWhile(_.isDefined).flatMap(_.get)
+      }
+      .toDF("doc_a", "doc_b", "n_match")
+      .distinct()
+  }
+
+  def d2MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    scoredCandidatePairs(signatures(s, dir))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
               (col("n_match").cast("double") / NumPerm).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   val d2Sql: String = {
     s"""WITH $signaturesSql,
@@ -872,6 +933,19 @@ object Dedup {
     * 83M shingles), same two-long row shape; the probe measured the
     * pair Sort's footprint at 8.4 GB against 196 MB of parquet — ~43x.
     * 86 = 2x margin, same order-of-magnitude-only intent.
+    *
+    * Round-15 note (r14 ADVICE): since the round-14 fusion this exchange
+    * carries BOTH tagged row kinds — the pair occurrences the 43x was
+    * calibrated on PLUS one kind=1 size row per capped shingle
+    * occurrence (~+55% rows at t320, same 3-long row shape), i.e. a
+    * combined measured footprint of ~67x ([pairs 1.75 + sizes 1] /
+    * 1.75 × 43 ≈ 67) against the 86 constant — the margin is ~1.3x, not
+    * 2x. Keying on `a` alone also concentrates one document's whole
+    * fan-out (≤ shingles × MaxShingleDf pair rows + shingles size rows)
+    * on a single key; bounded per doc, but a single enormous document is
+    * a per-key mass the task sizing does not spread. Both are accepted:
+    * the t320/t640 doubling audits gate the real footprint (spill 0 at
+    * both), and SortPartBytes targets leave 4-8x task headroom on top.
     */
   private val PairSortExpansion = 86.0
 
@@ -1064,10 +1138,13 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         // a localCheckpoint's blocks are UNRECOVERABLE once unpersisted
         // (lineage is truncated at checkpoint time): this release is only
-        // sound because every call site checkpoints EAGERLY and releases a
-        // round strictly after its successor materialized. A refactor that
-        // makes the checkpoint lazy must fail here, loudly, not lose
-        // blocks mid-query later.
+        // sound because the checkpoint being released has been
+        // MATERIALIZED — eagerly at checkpoint time, or lazily by an
+        // intervening action (the CC loop's convergence count() is that
+        // action since round 14) — and a round is released strictly after
+        // its successor materialized. A reorder that releases before the
+        // materializing action must fail here, loudly, not lose blocks
+        // mid-query later.
         require(lr.rdd.isCheckpointed,
           "releaseCheckpoint called on a non-materialized checkpoint RDD — " +
             "the localCheckpoint() producing it must stay eager")
@@ -1115,6 +1192,9 @@ object Dedup {
         .select(col("doc"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
                 col("lbl").as("old"))
         .localCheckpoint(eager = false)
+      // this count() MATERIALIZES the lazy checkpoint above — it must run
+      // before releaseCheckpoint(labels) below (releaseCheckpoint requires
+      // a materialized checkpoint and would throw on a reorder)
       changed = next.filter(col("lbl") < col("old")).count()
       // release the superseded round's checkpoint blocks NOW — round 5
       // left every round of every d7/d10 invocation pinned in storage

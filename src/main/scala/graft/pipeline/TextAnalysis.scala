@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2-C text analysis: language-ID, quality scoring, token counting,
@@ -70,6 +70,25 @@ object TextAnalysis {
 
   // --- t2_quality_score ---------------------------------------------------
   // length / token-length / marker-density ratios -> [0,1] quality score.
+  /** THE quality/ratio formulas — single definition on purpose (the
+    * splitHash doctrine): t2's map-only plan and t8's fused token-stats
+    * kernel (round 15) both derive quality from (n_tokens, n_marker,
+    * len_nospace), and identical Column trees mean identical IEEE
+    * arithmetic by construction, not by parallel edits.
+    */
+  private[pipeline] def avgTokenLenCol(lenNospace: Column, nTokens: Column): Column =
+    lenNospace.cast("double") / nTokens
+  private[pipeline] def markerRatioCol(nMarker: Column, nTokens: Column): Column =
+    nMarker.cast("double") / nTokens
+  private[pipeline] def qualityCol(nTokens: Column, markerRatio: Column,
+                                   avgTokenLen: Column): Column =
+    least(nTokens.cast("double") / 100, lit(1.0)) * 0.4 +
+      markerRatio * 0.3 +
+      least(avgTokenLen / 8, lit(1.0)) * 0.3
+  /** t6's ratio, shared with t8's fused kernel for the same reason. */
+  private[pipeline] def ttrCol(nTypes: Column, nTokens: Column): Column =
+    nTypes.cast("double") / nTokens.cast("double")
+
   def t2Quality(s: SparkSession, dir: String): DataFrame = {
     val allMarkers = markers.values.flatten.toSeq.sorted
     Tables.documents(s, dir)
@@ -80,13 +99,11 @@ object TextAnalysis {
       .withColumn("len_nospace",
         length(regexp_replace(col("text"), " ", "")).cast("long"))
       .withColumn("avg_token_len",
-        col("len_nospace").cast("double") / col("n_tokens"))
+        avgTokenLenCol(col("len_nospace"), col("n_tokens")))
       .withColumn("marker_ratio",
-        col("n_marker").cast("double") / col("n_tokens"))
+        markerRatioCol(col("n_marker"), col("n_tokens")))
       .withColumn("quality",
-        least(col("n_tokens").cast("double") / 100, lit(1.0)) * 0.4 +
-          col("marker_ratio") * 0.3 +
-          least(col("avg_token_len") / 8, lit(1.0)) * 0.3)
+        qualityCol(col("n_tokens"), col("marker_ratio"), col("avg_token_len")))
       .select("doc_id", "n_tokens", "avg_token_len", "marker_ratio", "quality")
       .orderBy("doc_id")
   }
@@ -208,8 +225,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
            countDistinct(col("tok")).as("n_types"))
-      .withColumn("ttr",
-        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("ttr", ttrCol(col("n_types"), col("n_tokens")))
       .orderBy("doc_id")
 
   val t6Sql: String =
@@ -291,13 +307,40 @@ object TextAnalysis {
   val MaxDupBigramFrac = 0.06
 
   def t8QualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val q = t2Quality(s, dir).select("doc_id", "quality")
-    val div = t6TypeTokenRatio(s, dir).select("doc_id", "ttr")
+    // Fused t2+t6 kernel (round 15, guide §6/§2.3): every t2 component
+    // — token count, no-space length (= sum of token code-point lengths
+    // under single-space splitting), marker hits — is derivable from the
+    // SAME token explode t6's distinct-aggregation already pays for, so
+    // one scan + one two-phase aggregation produces quality AND ttr.
+    // The old shape ran t2's separate corpus scan and shuffled its
+    // per-doc stats through a third join input; plan: 3 document scans →
+    // 2, joins 2 → 1. The standalone t2 (map-only — cheaper than an
+    // explode when quality is all you want) and t6 plans are unchanged;
+    // the shared column builders (qualityCol/ttrCol/...) keep the
+    // formulas identical by construction, and the unchanged t8/d15
+    // oracles (which still compose t2Sql/t6Sql) gate the equivalence.
+    val allMarkers = markers.values.flatten.toSeq.sorted
+    val stats = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("tok")).as("n_types"),
+           sum(length(col("tok")).cast("long")).as("len_nospace"),
+           sum(when(allMarkers.map(w => col("tok") === w).reduce(_ || _), 1L)
+             .otherwise(0L)).as("n_marker"))
+      .withColumn("avg_token_len",
+        avgTokenLenCol(col("len_nospace"), col("n_tokens")))
+      .withColumn("marker_ratio",
+        markerRatioCol(col("n_marker"), col("n_tokens")))
+      .withColumn("quality",
+        qualityCol(col("n_tokens"), col("marker_ratio"), col("avg_token_len")))
+      .withColumn("ttr", ttrCol(col("n_types"), col("n_tokens")))
+      .select("doc_id", "quality", "ttr")
     val rep = t7Repetition(s, dir).select("doc_id", "dup_bigram_frac")
     // t7 has no row for docs with < 2 tokens (no bigrams); the filter
     // contract is one verdict per document, so LEFT join and treat a
     // bigram-less doc as non-repetitive (dup fraction 0)
-    q.join(div, "doc_id").join(rep, Seq("doc_id"), "left")
+    stats.join(rep, Seq("doc_id"), "left")
       .withColumn("dup_bigram_frac", coalesce(col("dup_bigram_frac"), lit(0.0)))
       .withColumn("keep",
         col("quality") >= MinQuality && col("ttr") >= MinTtr &&

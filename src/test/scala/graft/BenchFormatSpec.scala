@@ -63,15 +63,17 @@ class BenchFormatSpec extends AnyFunSuite {
         "every query key must stay on the line after precision fallback")
     } else {
       // ~93+ keys: name bytes alone (~19/key) mean the FULL map cannot
-      // fit at ANY precision. The slowest-K tier engages: real 10ms
-      // values for the heavy ops (what a perf reader wants), an explicit
-      // marker, and the committed BENCH_FULL.json (3-decimal, per-run
-      // raw times) as the authoritative full artifact. The slowest op
-      // must be present at full resolution; the head NEVER truncates.
-      assert(fine.contains("\"queries_note\":\"slowest "),
-        "subset tier must be explicitly marked")
+      // fit at ANY precision. The FIXED-ROSTER tier engages (round 15):
+      // the same 79 names every run — the old slowest-K-of-this-run tier
+      // churned membership at the fast tail and the driver's PERF diff
+      // manufactured phantom dropped/new entries every round — with real
+      // 10ms values, an explicit marker, and the committed
+      // BENCH_FULL.json (3-decimal, per-run raw times) as the
+      // authoritative full artifact. The head NEVER truncates.
+      assert(fine.contains("\"queries_note\":\"fixed roster "),
+        "fixed-roster tier must be explicitly marked")
       assert(fine.contains(":1.23"),
-        "the slowest ops must keep 10ms resolution in the subset tier")
+        "roster ops must keep 10ms resolution in the roster tier")
     }
     assert(!fine.contains("\"failed\""),
       "failed field should be omitted when nothing failed")
@@ -94,6 +96,26 @@ class BenchFormatSpec extends AnyFunSuite {
     else
       assert(line.contains(":9.94") && line.contains("\"queries_note\":"),
         "subset tier must keep full-resolution values and the marker")
+  }
+
+  test("roster tier reports the same key set regardless of this run's times") {
+    // the round-14 PERF diff's phantom dropped_from_bench/new_in_bench
+    // entries came from the slowest-K cutoff moving with run noise; the
+    // fixed roster must make the reported key set a function of the
+    // inventory alone. Two timing draws that would have flipped the old
+    // cutoff (fast tail reshuffled) must yield identical rosters.
+    def keysOf(line: String): Set[String] =
+      "\"([a-z0-9_]+)\":[0-9]".r.findAllMatchIn(line).map(_.group(1)).toSet -
+        "metric" - "value" - "sf"
+    val drawA = names.zipWithIndex.map { case (n, i) => n -> (0.1 + (i % 7) * 0.05) }
+    val drawB = names.zipWithIndex.map { case (n, i) => n -> (0.1 + ((i + 3) % 7) * 0.05) }
+    val lineA = Bench.compactLine(drawA, Nil, 30.0, "/root/testdata/sf0.1")
+    val lineB = Bench.compactLine(drawB, Nil, 30.0, "/root/testdata/sf0.1")
+    assert(keysOf(lineA) === keysOf(lineB),
+      "reported roster must not depend on per-run timings")
+    if (names.size > 92)
+      assert(keysOf(lineA) === Bench.LineRoster.intersect(names.toSet),
+        "roster tier must report exactly the fixed LineRoster members")
   }
 
   test("trailing-zero trim preserves resolution, not bytes") {
