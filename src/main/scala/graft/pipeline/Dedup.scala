@@ -265,7 +265,7 @@ object Dedup {
     * exactly as the old distinct over (doc_a, doc_b) did. Buffered state
     * stays O(MaxBandDf) rows, now MaxBandDf × 16 longs.
     */
-  private def scoredCandidatePairs(sig: DataFrame): DataFrame = {
+  private[graft] def scoredCandidatePairs(sig: DataFrame): DataFrame = {
     val session = sig.sparkSession
     import session.implicits._
     val bands = sig

@@ -109,6 +109,53 @@ class PipelineSpec extends SparkSpec {
       s"cap-boundary bucket must emit all C($n,2) pairs: missing ${expected -- pairs}")
   }
 
+  test("scoredCandidatePairs: kernel n_match equals the per-position agreement count") {
+    // Focused test for the round-15 d2 kernel change: the pair score is
+    // now computed INSIDE the band-bucket kernel (from the sigs the band
+    // rows carry) instead of by re-joining the signature table. Three
+    // docs collide on band 0 only (positions 1-4 identical); all other
+    // positions are distinct per doc except one planted extra agreement
+    // between docs 1 and 2 — so the kernel must score (0,1) and (0,2)
+    // at 4 and (1,2) at 5, exactly the zip_with count the old epilogue
+    // (and the DuckDB oracle's list_filter) computes.
+    import spark.implicits._
+    def sigs(doc: Int): Seq[Long] =
+      Seq.fill(4)(9L) ++ (4 until Dedup.NumPerm).map(p => (100 * doc + p).toLong)
+    val sig = Seq(
+      (0L, sigs(0)),
+      (1L, sigs(1)),
+      (2L, sigs(2).updated(7, sigs(1)(7)))
+    ).toDF("doc_id", "sigs")
+    val got = Dedup.scoredCandidatePairs(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 1L, 4L), (0L, 2L, 4L), (1L, 2L, 5L)),
+      s"kernel-scored pairs wrong: $got")
+  }
+
+  test("scoredCandidatePairs: over-cap star edges carry each member's true score") {
+    // The star path buffers only the anchor's sigs and streams the tail:
+    // each emitted (anchor, member, n_match) must still score against
+    // the MEMBER's own sigs. 20 docs (> MaxBandDf = 16) collide on band
+    // 0; doc 5 additionally agrees with the anchor at position 9, so its
+    // star edge must score 5 while every other edge scores 4.
+    import spark.implicits._
+    def sigs(doc: Int): Seq[Long] =
+      Seq.fill(4)(7L) ++ (4 until Dedup.NumPerm).map(p => (100 * doc + p).toLong)
+    val n = Dedup.MaxBandDf + 4
+    val rows = (0 until n).map { d =>
+      val s = if (d == 5) sigs(5).updated(9, sigs(0)(9)) else sigs(d)
+      (d.toLong, s)
+    }
+    val got = Dedup.scoredCandidatePairs(rows.toDF("doc_id", "sigs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == n - 1, s"expected ${n - 1} star edges, got ${got.length}")
+    assert(got.forall(_._1 == 0L), "star edges must anchor at the bucket min")
+    val scores = got.map(t => t._2 -> t._3).toMap
+    assert(scores(5L) == 5L, s"planted extra agreement must score 5: $scores")
+    assert((scores - 5L).values.forall(_ == 4L),
+      s"every other member agrees on band 0 only: $scores")
+  }
+
   test("d10 purge agrees with d7's groups: dropped = non-keeper members") {
     val dropped = Dedup.d7DupGroups(spark, sf)
       .filter(col("doc_id") =!= col("group_id")).count()
